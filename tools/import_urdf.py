@@ -1,0 +1,217 @@
+"""Generate curobo-tpu robot YAML configs from a URDF (+ optional annex data).
+
+Usage:
+    python tools/import_urdf.py <urdf> --base-link B --tool-frames T1,T2 \
+        [--annex reference_robot_yaml] [--out out.yml]
+
+The annex is a cuRobo-style robot YAML from which *data* (collision sphere
+centers/radii, self-collision ignore lists, cspace defaults, lock joints)
+is extracted into this framework's own `curobo-tpu-robot/1` schema. Only
+numeric/name data is read — no code or file content is copied.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import yaml
+
+from curobo_tpu.robot import urdf as urdf_mod
+
+
+def _floats(x):
+    return [float(v) for v in x]
+
+
+def build_config(
+    urdf_path: str,
+    base_link: str,
+    tool_frames,
+    annex: dict | None = None,
+    keep_links=None,
+) -> dict:
+    robot = urdf_mod.parse_urdf(urdf_path)
+    by_child = robot.joint_by_child
+
+    children = {}
+    for j in robot.joints.values():
+        children.setdefault(j.parent_link, []).append(j.child_link)
+    keep = []
+    stack = [base_link]
+    while stack:
+        l = stack.pop(0)
+        keep.append(l)
+        stack.extend(sorted(children.get(l, [])))
+    if keep_links is not None:
+        keep = [l for l in keep if l in set(keep_links) or l == base_link]
+
+    links_out = []
+    for name in keep:
+        link = robot.links[name]
+        d = {"name": name}
+        if name != base_link:
+            j = by_child[name]
+            if j.parent_link not in keep:
+                continue
+            d["parent"] = j.parent_link
+            d["joint_name"] = j.name
+            d["joint_type"] = j.joint_type
+            if np.any(np.asarray(j.origin_xyz) != 0):
+                d["origin_xyz"] = _floats(j.origin_xyz)
+            if np.any(np.asarray(j.origin_rpy) != 0):
+                d["origin_rpy"] = _floats(j.origin_rpy)
+            if j.joint_type in ("revolute", "continuous", "prismatic"):
+                d["axis"] = _floats(j.axis)
+                d["limits"] = _floats(
+                    [j.limit_lower, j.limit_upper, j.limit_velocity, j.limit_effort]
+                )
+            if j.mimic_joint:
+                d["mimic"] = {
+                    "joint": j.mimic_joint,
+                    "multiplier": float(j.mimic_multiplier),
+                    "offset": float(j.mimic_offset),
+                }
+        if link.inertial is not None and link.inertial.mass > 0:
+            d["mass"] = float(link.inertial.mass)
+            d["com"] = _floats(link.inertial.com)
+            d["inertia"] = _floats(link.inertial.inertia.reshape(-1))
+        links_out.append(d)
+
+    kept_names = {l["name"] for l in links_out}
+
+    actuated = [
+        l["joint_name"]
+        for l in links_out
+        if l.get("joint_type") in ("revolute", "continuous", "prismatic")
+        and "mimic" not in l
+    ]
+
+    cfg = {
+        "format": "curobo-tpu-robot/1",
+        "robot": {
+            "name": robot.name,
+            "base_link": base_link,
+            "tool_frames": list(tool_frames),
+            "actuated_joints": actuated,
+            "links": links_out,
+        },
+    }
+
+    if annex:
+        kin = annex.get("robot_cfg", annex).get("kinematics", {})
+        r = cfg["robot"]
+        # Locked joints drop out of the actuated set *before* cspace vectors
+        # are remapped, so per-dof vectors line up with the final dof order.
+        lock = kin.get("lock_joints") or {}
+        if lock:
+            r["lock_joints"] = {k: float(v) for k, v in lock.items()}
+            actuated = [j for j in actuated if j not in lock]
+            r["actuated_joints"] = actuated
+        cspace = kin.get("cspace", {})
+        if cspace:
+            r["cspace"] = {}
+            order = cspace.get("joint_names", [])
+            # Annex orders cspace vectors by its own joint list; remap to ours.
+            def remap(vals):
+                if not order or len(vals) != len(order):
+                    return [float(v) for v in vals]
+                m = dict(zip(order, vals))
+                return [float(m[j]) for j in actuated if j in m]
+
+            if "default_joint_position" in cspace:
+                full = remap(cspace["default_joint_position"])
+                r["cspace"]["retract_config"] = full
+            for src, dst in [
+                ("max_acceleration", "max_acceleration"),
+                ("max_jerk", "max_jerk"),
+            ]:
+                if src in cspace:
+                    r["cspace"][dst] = float(cspace[src])
+            if "cspace_distance_weight" in cspace:
+                r["cspace"]["cspace_weight"] = remap(cspace["cspace_distance_weight"])
+            if "null_space_weight" in cspace:
+                r["cspace"]["null_space_weight"] = remap(cspace["null_space_weight"])
+        col = {}
+        spheres = kin.get("collision_spheres") or {}
+        spheres = {
+            k: [
+                {"center": _floats(s["center"]), "radius": float(s["radius"])}
+                for s in v
+            ]
+            for k, v in spheres.items()
+            if k in kept_names
+        }
+        if spheres:
+            col["spheres"] = spheres
+        ignore = kin.get("self_collision_ignore") or {}
+        if ignore:
+            col["self_collision_ignore"] = {
+                k: list(v) for k, v in ignore.items() if k in kept_names
+            }
+        buf = kin.get("self_collision_buffer") or {}
+        if buf:
+            col["self_collision_buffer"] = {
+                k: float(v) for k, v in buf.items() if k in kept_names
+            }
+        if "collision_sphere_buffer" in kin:
+            col["sphere_buffer"] = float(kin["collision_sphere_buffer"])
+        if col:
+            r["collision"] = col
+        extra = kin.get("extra_collision_spheres") or {}
+        extra_links = kin.get("extra_links") or {}
+        if extra_links:
+            for name, el in extra_links.items():
+                ft = el.get("fixed_transform", [0, 0, 0, 1, 0, 0, 0])
+                # fixed_transform is [x y z qw qx qy qz]; convert quat->rpy.
+                from scipy.spatial.transform import Rotation
+
+                rpy = Rotation.from_quat(
+                    [ft[4], ft[5], ft[6], ft[3]]
+                ).as_euler("xyz")
+                r["links"].append(
+                    {
+                        "name": el.get("link_name", name),
+                        "parent": el["parent_link_name"],
+                        "joint_name": el.get("joint_name", f"{name}_joint"),
+                        "joint_type": el.get("joint_type", "FIXED").lower(),
+                        "origin_xyz": _floats(ft[:3]),
+                        "origin_rpy": _floats(rpy),
+                    }
+                )
+        if extra:
+            r["extra_collision_spheres"] = {k: int(v) for k, v in extra.items()}
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("urdf")
+    ap.add_argument("--base-link", required=True)
+    ap.add_argument("--tool-frames", required=True)
+    ap.add_argument("--annex", default=None)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--name", default=None)
+    args = ap.parse_args()
+
+    annex = None
+    if args.annex:
+        with open(args.annex) as f:
+            annex = yaml.safe_load(f)
+
+    cfg = build_config(
+        args.urdf, args.base_link, args.tool_frames.split(","), annex=annex
+    )
+    if args.name:
+        cfg["robot"]["name"] = args.name
+    with open(args.out, "w") as f:
+        yaml.safe_dump(cfg, f, default_flow_style=None, sort_keys=False)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
