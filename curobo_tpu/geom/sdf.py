@@ -12,16 +12,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _safe_norm(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """norm with finite gradient at 0 (NaN-safe for points inside shapes)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=-1) + eps)
+
+
 def sdf_box(x_local: jnp.ndarray, half_dims: jnp.ndarray) -> jnp.ndarray:
     """Box centred at origin. x_local (..., 3), half_dims (..., 3) -> (...)."""
     q = jnp.abs(x_local) - half_dims
-    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    outside = _safe_norm(jnp.maximum(q, 0.0))
     inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     return outside + inside
 
 
 def sdf_sphere(x: jnp.ndarray, center: jnp.ndarray, radius: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.norm(x - center, axis=-1) - radius
+    return _safe_norm(x - center) - radius
 
 
 def sdf_capsule(
@@ -32,15 +37,15 @@ def sdf_capsule(
     ba = b - a
     denom = jnp.maximum(jnp.sum(ba * ba, axis=-1), 1e-12)
     h = jnp.clip(jnp.sum(pa * ba, axis=-1) / denom, 0.0, 1.0)
-    return jnp.linalg.norm(pa - ba * h[..., None], axis=-1) - radius
+    return _safe_norm(pa - ba * h[..., None]) - radius
 
 
 def sdf_cylinder(x_local: jnp.ndarray, radius: jnp.ndarray, half_height: jnp.ndarray) -> jnp.ndarray:
     """Capped cylinder along local z, centred at origin."""
-    d_r = jnp.linalg.norm(x_local[..., :2], axis=-1) - radius
+    d_r = _safe_norm(x_local[..., :2]) - radius
     d_z = jnp.abs(x_local[..., 2]) - half_height
-    outside = jnp.linalg.norm(
-        jnp.stack([jnp.maximum(d_r, 0.0), jnp.maximum(d_z, 0.0)], axis=-1), axis=-1
+    outside = _safe_norm(
+        jnp.stack([jnp.maximum(d_r, 0.0), jnp.maximum(d_z, 0.0)], axis=-1)
     )
     inside = jnp.minimum(jnp.maximum(d_r, d_z), 0.0)
     return outside + inside

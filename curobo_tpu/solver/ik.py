@@ -31,6 +31,9 @@ BIG = 1.0e8
 @dataclasses.dataclass(frozen=True)
 class IKConfig:
     n_seeds: int = 32
+    # B-last fused compute path (ops/blast.py) when the problem shape
+    # supports it (single tool, single goal) — large TPU speedup.
+    use_blast: bool = True
     use_particle_stage: bool = True
     mppi: MPPIConfig = MPPIConfig(n_particles=32, n_iters=8, init_std=0.6)
     lbfgs: LBFGSConfig = LBFGSConfig(history=12, n_iters=40)
@@ -65,6 +68,9 @@ class IKSolver:
         self.params = params
         self.cfg = cfg
         self.rollout = RobotRollout(params, cfg.rollout)
+        from curobo_tpu.ops.blast import BlastRollout
+
+        self._blast = BlastRollout(params, cfg.rollout)
         # Halton seed bank in joint space (host constant).
         self._seed_bank = jnp.asarray(
             halton_sequence(max(cfg.n_seeds - 1, 1), params.n_dof),
@@ -103,11 +109,19 @@ class IKSolver:
         B, S, D = seeds.shape
         goal_s = goal.tile_seeds(S)  # (B, S, ...)
 
+        from curobo_tpu.ops.blast import BlastRollout
+
+        rollout = (
+            self._blast
+            if cfg.use_blast and BlastRollout.supports(p, goal)
+            else self.rollout
+        )
+
         lo = jnp.maximum(p.joint_limits.lower, -2.0 * np.pi)
         hi = jnp.minimum(p.joint_limits.upper, 2.0 * np.pi)
 
         def cost(x):  # (B, S, D) or with extra leading particle/cand axes
-            return self.rollout.evaluate_config(world, goal_s, x).cost
+            return rollout.evaluate_config(world, goal_s, x).cost
 
         x = seeds
         if cfg.use_particle_stage:
@@ -115,7 +129,7 @@ class IKSolver:
         x, _ = lbfgs_optimize(cost, x, cfg.lbfgs, lower=lo, upper=hi)
 
         # metrics + seed selection
-        res = self.rollout.evaluate_config(world, goal_s, x)
+        res = rollout.evaluate_config(world, goal_s, x)
         conv = res.converged(cfg.position_threshold, cfg.rotation_threshold)
         score = jnp.where(conv, res.cost, BIG + res.pos_err)
         best = jnp.argmin(score, axis=-1)  # (B,)

@@ -16,7 +16,9 @@ from curobo_tpu.robot.params import SelfCollisionParams
 class TestSdfPrimitives:
     def test_box(self):
         half = jnp.asarray([0.5, 0.5, 0.5])
-        assert float(sdf_mod.sdf_box(jnp.asarray([0.0, 0, 0]), half)) == -0.5
+        np.testing.assert_allclose(
+            float(sdf_mod.sdf_box(jnp.asarray([0.0, 0, 0]), half)), -0.5, atol=1e-5
+        )
         np.testing.assert_allclose(
             float(sdf_mod.sdf_box(jnp.asarray([1.0, 0, 0]), half)), 0.5, atol=1e-6
         )
@@ -38,9 +40,9 @@ class TestSdfPrimitives:
 
     def test_cylinder(self):
         d = sdf_mod.sdf_cylinder(jnp.asarray([0.0, 0.0, 0.0]), 0.2, 0.5)
-        np.testing.assert_allclose(float(d), -0.2, atol=1e-6)
+        np.testing.assert_allclose(float(d), -0.2, atol=1e-5)
         d2 = sdf_mod.sdf_cylinder(jnp.asarray([0.5, 0.0, 0.0]), 0.2, 0.5)
-        np.testing.assert_allclose(float(d2), 0.3, atol=1e-6)
+        np.testing.assert_allclose(float(d2), 0.3, atol=1e-5)
 
     def test_voxel_trilinear(self):
         # Grid of a linear ramp sdf(x) = x; trilinear must reproduce it.

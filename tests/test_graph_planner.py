@@ -1,0 +1,67 @@
+"""PRM graph planner tests: finds collision-free paths around an obstacle
+wall that straight-line interpolation cannot cross."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curobo_tpu.geom import types as gt
+from curobo_tpu.geom import world as wm
+from curobo_tpu.graph.prm import PRMConfig, PRMGraphPlanner
+from curobo_tpu.robot.kinematics import Kinematics
+
+CONTENT = os.path.join(os.path.dirname(__file__), "..", "curobo_tpu", "content", "robots")
+
+
+@pytest.fixture(scope="module")
+def kin():
+    return Kinematics.from_robot_yaml(os.path.join(CONTENT, "franka.yml"))
+
+
+@pytest.fixture(scope="module")
+def wall_world():
+    # A wall in front of the robot that blocks direct side-to-side sweeps.
+    return wm.compile_scene(
+        gt.Scene().add(
+            gt.Cuboid(name="wall", pose=[0.55, 0.0, 0.5, 1, 0, 0, 0], dims=[0.08, 0.5, 1.0]),
+            gt.Cuboid(name="table", pose=[0.4, 0.0, -0.1, 1, 0, 0, 0], dims=[1.4, 1.4, 0.2]),
+        )
+    )
+
+
+class TestPRM:
+    def test_finds_path(self, kin, wall_world):
+        planner = PRMGraphPlanner(kin.params, PRMConfig(n_nodes=256))
+        # start on one side, goal on the other (joint 0 sweep)
+        q_start = jnp.asarray([[1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        q_goal = jnp.asarray([[-1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        res = planner.plan(wall_world, q_start, q_goal)
+        assert res.paths.shape == (1, planner.cfg.max_path_nodes, 7)
+        # endpoints exact
+        np.testing.assert_allclose(np.asarray(res.paths[0, 0]), np.asarray(q_start[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.paths[0, -1]), np.asarray(q_goal[0]), atol=1e-5)
+        if res.success[0]:
+            # every waypoint collision-free
+            ok = np.asarray(planner._check_q(wall_world, res.paths[0]))
+            assert ok.all()
+
+    def test_batch(self, kin, wall_world):
+        planner = PRMGraphPlanner(kin.params, PRMConfig(n_nodes=128))
+        B = 3
+        q_start = jnp.broadcast_to(kin.params.retract_config, (B, 7))
+        q_goal = q_start + jnp.asarray([0.5, 0.1, -0.2, 0.1, 0.0, 0.1, 0.0])
+        res = planner.plan(wall_world, q_start, q_goal)
+        assert res.paths.shape == (B, planner.cfg.max_path_nodes, 7)
+        assert res.success.shape == (B,)
+
+    def test_straight_line_fallback(self, kin):
+        # Empty world, trivial problem: path must exist and be ~straight.
+        world = wm.empty_world()
+        planner = PRMGraphPlanner(kin.params, PRMConfig(n_nodes=64))
+        q_start = kin.params.retract_config[None]
+        q_goal = q_start + 0.1
+        res = planner.plan(world, q_start, q_goal)
+        np.testing.assert_allclose(np.asarray(res.paths[0, 0]), np.asarray(q_start[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.paths[0, -1]), np.asarray(q_goal[0]), atol=1e-5)
