@@ -146,10 +146,12 @@ def lbfgs_optimize(
     m = cfg.history
     dtype = x0.dtype
 
-    # value_and_grad over the batched cost: grad of sum == per-problem grads.
+    # One forward + one backward per evaluation: vjp with a ones cotangent
+    # gives per-problem costs AND their gradients (grad-of-sum would re-run
+    # the forward).
     def cg(x):
-        c = cost_fn(x)
-        g = jax.grad(lambda xx: jnp.sum(cost_fn(xx)))(x)
+        c, vjp = jax.vjp(cost_fn, x)
+        (g,) = vjp(jnp.ones_like(c))
         return c, g
 
     def project(x):

@@ -340,6 +340,7 @@ def build_kinematics_params(
     pair_a: List[int] = []
     pair_b: List[int] = []
     pair_margin: List[float] = []
+    pair_buffer: List[float] = []
     for i in range(n_spheres):
         for j in range(i + 1, n_spheres):
             la, lb = sphere_link_name[i], sphere_link_name[j]
@@ -349,9 +350,8 @@ def build_kinematics_params(
             ia, ib = sphere_link[i], sphere_link[j]
             if parent_idx[ia] == ib or parent_idx[ib] == ia:
                 continue
-            margin = (
-                radii[i] + radii[j] + buffers.get(la, 0.0) + buffers.get(lb, 0.0)
-            )
+            buf = buffers.get(la, 0.0) + buffers.get(lb, 0.0)
+            margin = radii[i] + radii[j] + buf
             # Disabled spheres get a -inf margin so the pair never activates
             # until the sphere table is updated (attachments).
             if radii[i] < 0 or radii[j] < 0:
@@ -359,11 +359,13 @@ def build_kinematics_params(
             pair_a.append(i)
             pair_b.append(j)
             pair_margin.append(margin)
+            pair_buffer.append(buf)
 
     self_collision = SelfCollisionParams(
         pair_a=jnp.asarray(pair_a, dtype=jnp.int32),
         pair_b=jnp.asarray(pair_b, dtype=jnp.int32),
         pair_margin=jnp.asarray(pair_margin, dtype=dtype),
+        pair_buffer=jnp.asarray(pair_buffer, dtype=dtype),
     )
 
     # ---- cspace --------------------------------------------------------

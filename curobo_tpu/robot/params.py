@@ -49,6 +49,16 @@ class SelfCollisionParams:
     pair_a: jnp.ndarray  # (n_pairs,) int32
     pair_b: jnp.ndarray  # (n_pairs,) int32
     pair_margin: jnp.ndarray  # (n_pairs,) float32 (includes radii)
+    # buffer-only part of the margin (link buffers, no radii) — used to
+    # rebuild pair_margin when sphere radii change (attachments)
+    pair_buffer: jnp.ndarray  # (n_pairs,) float32
+
+    def recompute_margins(self, radii: jnp.ndarray) -> "SelfCollisionParams":
+        ra = radii[self.pair_a]
+        rb = radii[self.pair_b]
+        margin = ra + rb + self.pair_buffer
+        margin = jnp.where((ra < 0) | (rb < 0), -jnp.inf, margin)
+        return dataclasses.replace(self, pair_margin=margin)
 
 
 @jax.tree_util.register_dataclass

@@ -224,6 +224,7 @@ class TestSelfCollision:
             pair_a=jnp.asarray([0, 0], dtype=jnp.int32),
             pair_b=jnp.asarray([1, 2], dtype=jnp.int32),
             pair_margin=jnp.asarray([0.2, 0.2]),
+            pair_buffer=jnp.zeros(2),
         )
 
     def test_distance(self):
