@@ -223,19 +223,22 @@ def _rot_to_quat_blast(R: list) -> Tuple[jnp.ndarray, ...]:
     qx2 = jnp.maximum(1.0 + m00 - m11 - m22, 0.0)
     qy2 = jnp.maximum(1.0 - m00 + m11 - m22, 0.0)
     qz2 = jnp.maximum(1.0 - m00 - m11 + m22, 0.0)
-    # candidates (unnormalized)
+    # candidates (unnormalized); select the dominant one with pure mask
+    # arithmetic (no gather — Mosaic-lowerable inside Pallas kernels)
     cands = [
         (qw2, m21 - m12, m02 - m20, m10 - m01),
         (m21 - m12, qx2, m01 + m10, m02 + m20),
         (m02 - m20, m01 + m10, qy2, m12 + m21),
         (m10 - m01, m02 + m20, m12 + m21, qz2),
     ]
-    vals = jnp.stack([qw2, qx2, qy2, qz2])  # (4, N)
-    idx = jnp.argmax(vals, axis=0)  # (N,)
-    comps = []
-    for c in range(4):
-        stacked = jnp.stack([cands[k][c] for k in range(4)])  # (4, N)
-        comps.append(jnp.take_along_axis(stacked, idx[None], axis=0)[0])
+    m0 = (qw2 >= qx2) & (qw2 >= qy2) & (qw2 >= qz2)
+    m1 = (~m0) & (qx2 >= qy2) & (qx2 >= qz2)
+    m2 = (~m0) & (~m1) & (qy2 >= qz2)
+    m3 = (~m0) & (~m1) & (~m2)
+    masks = [m.astype(qw2.dtype) for m in (m0, m1, m2, m3)]
+    comps = [
+        sum(masks[k] * cands[k][c] for k in range(4)) for c in range(4)
+    ]
     w, x, y, z = comps
     norm = jnp.sqrt(jnp.maximum(w * w + x * x + y * y + z * z, 1e-12))
     sign = jnp.where(w < 0, -1.0, 1.0)

@@ -1,0 +1,123 @@
+"""Batched Levenberg-Marquardt step + LM seed-IK solver.
+
+Parity: reference `LevenbergMarquardtStep`
+(`curobo/_src/optim/util/levenberg_marquardt_step.py:15,77`) and
+`SeedIKSolver` (`solver/seed_ik/seed_ik_solver.py:48`) — batched LM
+iterations on the pose residual using analytic Jacobians, used to warm-start
+the main IK optimizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curobo_tpu.math import quaternion as qm
+from curobo_tpu.robot import kinematics as kin_mod
+from curobo_tpu.robot.params import KinematicsParams
+from curobo_tpu.types.pose import Pose
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    n_iters: int = 20
+    damping: float = 1e-3
+    # adaptive damping multipliers
+    damping_up: float = 2.0
+    damping_down: float = 0.5
+    step_clip: float = 0.5
+    position_weight: float = 1.0
+    rotation_weight: float = 0.5
+
+
+def lm_step(
+    J: jnp.ndarray,  # (..., R, D) residual Jacobian
+    r: jnp.ndarray,  # (..., R) residuals
+    damping: jnp.ndarray,  # (...,)
+) -> jnp.ndarray:
+    """One damped Gauss-Newton (LM) step via batched Cholesky solve.
+
+    Returns delta (..., D) minimizing |J d + r|^2 + damping |d|^2.
+    """
+    D = J.shape[-1]
+    JtJ = jnp.einsum("...ri,...rj->...ij", J, J)
+    A = JtJ + damping[..., None, None] * jnp.eye(D, dtype=J.dtype)
+    b = -jnp.einsum("...ri,...r->...i", J, r)
+    L = jnp.linalg.cholesky(A)
+    return jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+
+
+class SeedIK:
+    """LM warm-seed IK: fast pose-only convergence, no collision terms."""
+
+    def __init__(self, params: KinematicsParams, cfg: LMConfig = LMConfig()):
+        self.params = params
+        self.cfg = cfg
+        self._solve_jit = jax.jit(self._solve)
+
+    def _residual_and_jac(self, q, goal_pos, goal_quat):
+        p = self.params
+        st = kin_mod.compute_kinematics(p, q, compute_jacobian=True)
+        # residual uses tool frame 0 (seed IK is single-tool)
+        dp = (st.tool_pose.position[..., 0, :] - goal_pos) * self.cfg.position_weight
+        dr = (
+            qm.quat_error(goal_quat, st.tool_pose.quaternion[..., 0, :])
+            * self.cfg.rotation_weight
+        )
+        r = jnp.concatenate([dp, dr], axis=-1)  # (..., 6)
+        J = st.jacobian[..., 0, :, :]  # (..., 6, D)
+        # The rotation residual is the log-map error expressed in the GOAL
+        # frame; the angular-velocity Jacobian rows are world-frame omega.
+        # Rotate them: J_rot ~= R_goal^T J_w (small-error right-Jacobian
+        # approximation — damping absorbs the rest).
+        Rg = qm.quat_to_matrix(goal_quat)  # (..., 3, 3)
+        J_rot = jnp.einsum("...ji,...jd->...id", Rg, J[..., 3:, :])
+        J = jnp.concatenate([J[..., :3, :], J_rot], axis=-2)
+        W = jnp.concatenate(
+            [
+                jnp.full((3,), self.cfg.position_weight, q.dtype),
+                jnp.full((3,), self.cfg.rotation_weight, q.dtype),
+            ]
+        )
+        return r, J * W[:, None]
+
+    def _solve(self, q0, goal_pos, goal_quat):
+        p = self.params
+        cfg = self.cfg
+        lo, hi = p.joint_limits.lower, p.joint_limits.upper
+
+        def body(i, carry):
+            q, damping, best_q, best_c = carry
+            r, J = self._residual_and_jac(q, goal_pos, goal_quat)
+            c = jnp.sum(r * r, axis=-1)
+            d = lm_step(J, r, damping)
+            dn = jnp.max(jnp.abs(d), axis=-1, keepdims=True)
+            d = d * jnp.minimum(1.0, cfg.step_clip / jnp.maximum(dn, 1e-9))
+            q_new = jnp.clip(q + d, lo, hi)
+            r2, _ = self._residual_and_jac(q_new, goal_pos, goal_quat)
+            c_new = jnp.sum(r2 * r2, axis=-1)
+            improved = c_new < c
+            q = jnp.where(improved[..., None], q_new, q)
+            damping = jnp.where(
+                improved, damping * cfg.damping_down, damping * cfg.damping_up
+            )
+            damping = jnp.clip(damping, 1e-6, 1e3)
+            better = c_new < best_c
+            best_q = jnp.where(better[..., None], q_new, best_q)
+            best_c = jnp.minimum(best_c, c_new)
+            return q, damping, best_q, best_c
+
+        damping0 = jnp.full(q0.shape[:-1], cfg.damping, q0.dtype)
+        r0, _ = self._residual_and_jac(q0, goal_pos, goal_quat)
+        c0 = jnp.sum(r0 * r0, axis=-1)
+        carry = (q0, damping0, q0, c0)
+        _, _, best_q, best_c = jax.lax.fori_loop(0, cfg.n_iters, body, carry)
+        return best_q, best_c
+
+    def solve(self, goal_pose: Pose, q0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """goal_pose batch (...,), q0 (..., D) -> (q (..., D), sq-residual (...,))."""
+        return self._solve_jit(q0, goal_pose.position, goal_pose.quaternion)

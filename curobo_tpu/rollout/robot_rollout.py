@@ -90,6 +90,11 @@ class RobotRolloutConfig:
     acceleration_weight: float = 0.0
     jerk_weight: float = 0.0
     use_swept_collision: bool = True
+    # inverse-dynamics torque-limit penalty (reference --use-dynamics mode,
+    # `transition/robot_state_transition.py:170` + RNEA)
+    torque_limit_weight: float = 0.0
+    # payload mass attached at the last link's CoM (torque-limited benchmark)
+    payload_mass: float = 0.0
     # convergence thresholds (metrics)
     position_threshold: float = 0.005
     rotation_threshold: float = 0.05
@@ -243,6 +248,26 @@ class RobotRollout:
         if cfg.jerk_weight > 0.0 and traj.jerk is not None:
             cost = cost + cfg.jerk_weight * jnp.mean(
                 jnp.sum(traj.jerk**2, axis=-1), axis=-1
+            )
+
+        # inverse-dynamics torque limits (RNEA over the trajectory)
+        if cfg.torque_limit_weight > 0.0 and traj.velocity is not None:
+            from curobo_tpu.robot.dynamics import compute_inverse_dynamics
+
+            dyn_params = p
+            if cfg.payload_mass > 0.0:
+                import dataclasses as _dc
+
+                last = p.n_links - 1
+                dyn_params = _dc.replace(
+                    p, link_mass=p.link_mass.at[last].add(cfg.payload_mass)
+                )
+            tau = compute_inverse_dynamics(
+                dyn_params, q, traj.velocity, traj.acceleration
+            )
+            over = jnp.maximum(jnp.abs(tau) - p.joint_limits.effort, 0.0)
+            cost = cost + cfg.torque_limit_weight * jnp.sum(
+                jnp.sum(over * over, axis=-1), axis=-1
             )
 
         # collisions
