@@ -305,6 +305,34 @@ def empty_world() -> WorldData:
     return compile_scene(gt.Scene())
 
 
+def stack_worlds(worlds: Sequence[WorldData]) -> WorldData:
+    """Stack per-environment worlds along a leading env axis.
+
+    Parity: the reference's multi-env obstacle sets routed by
+    `env_query_idx` (`collision_scene.py:37-60`, SolveMode.MULTI_ENV).
+    All worlds must share capacities (compile the scenes with the same
+    ``capacities`` argument). Query by gathering per-problem environments:
+    ``env_world = jax.tree.map(lambda a: a[env_idx], stacked)`` and vmap the
+    rollout over the problem axis (see RobotRollout.evaluate_config_env).
+    """
+    w0 = worlds[0]
+    leaves0, treedef = jax.tree.flatten(w0)
+    all_leaves = [leaves0]
+    for w in worlds[1:]:
+        leaves, _ = jax.tree.flatten(w)
+        if len(leaves) != len(leaves0) or any(
+            a.shape != b.shape for a, b in zip(leaves, leaves0)
+        ):
+            raise ValueError(
+                "worlds must share obstacle capacities/types to stack "
+                "(compile with the same `capacities`)"
+            )
+        all_leaves.append(leaves)
+    stacked = [jnp.stack(xs) for xs in zip(*all_leaves)]
+    # obstacle names (static metadata) are taken from worlds[0]
+    return jax.tree.unflatten(treedef, stacked)
+
+
 # ---------------------------------------------------------------------------
 # Queries
 # ---------------------------------------------------------------------------

@@ -193,6 +193,35 @@ class RobotRollout:
             out_of_bounds=oob,
         )
 
+    # -- multi-env variants (reference SolveMode.MULTI_ENV) -------------
+    def evaluate_config_env(
+        self,
+        worlds: world_mod.WorldData,  # leading env axis E on every array
+        env_idx: jnp.ndarray,  # (B,) int32 environment per problem
+        goal: Goal,  # (B, ...)
+        q: jnp.ndarray,  # (B, ..., D)
+        collision_eps: float = 0.0,
+    ) -> RolloutResult:
+        """Per-problem environment routing: gather each problem's world and
+        vmap the single-world objective over the problem axis."""
+        world_b = jax.tree.map(lambda a: a[env_idx], worlds)
+        return jax.vmap(
+            lambda w, g, qq: self.evaluate_config(w, g, qq, collision_eps)
+        )(world_b, goal, q)
+
+    def evaluate_trajectory_env(
+        self,
+        worlds: world_mod.WorldData,
+        env_idx: jnp.ndarray,
+        goal: Goal,
+        traj: JointState,
+        collision_eps: float = 0.0,
+    ) -> RolloutResult:
+        world_b = jax.tree.map(lambda a: a[env_idx], worlds)
+        return jax.vmap(
+            lambda w, g, t: self.evaluate_trajectory(w, g, t, collision_eps)
+        )(world_b, goal, traj)
+
     # -- trajectory objective (trajopt / MPC) ---------------------------
     def evaluate_trajectory(
         self,
