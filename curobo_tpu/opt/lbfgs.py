@@ -135,24 +135,31 @@ def lbfgs_optimize(
     cfg: LBFGSConfig,
     lower: Optional[jnp.ndarray] = None,
     upper: Optional[jnp.ndarray] = None,
+    cost_grad_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize cost_fn (batched) from x0 -> (x_best, cost_best).
 
     cost_fn maps (..., D) -> (...,) and may be called with one extra LEADING
     candidate axis (line-search fold): (L, ..., D) -> (L, ...).
+
+    cost_grad_fn, if given, returns (cost, grad) directly (fused kernels);
+    otherwise it is derived from cost_fn via vjp.
     """
     batch_shape = x0.shape[:-1]
     D = x0.shape[-1]
     m = cfg.history
     dtype = x0.dtype
 
-    # One forward + one backward per evaluation: vjp with a ones cotangent
-    # gives per-problem costs AND their gradients (grad-of-sum would re-run
-    # the forward).
-    def cg(x):
-        c, vjp = jax.vjp(cost_fn, x)
-        (g,) = vjp(jnp.ones_like(c))
-        return c, g
+    if cost_grad_fn is not None:
+        cg = cost_grad_fn
+    else:
+        # One forward + one backward per evaluation: vjp with a ones
+        # cotangent gives per-problem costs AND their gradients
+        # (grad-of-sum would re-run the forward).
+        def cg(x):
+            c, vjp = jax.vjp(cost_fn, x)
+            (g,) = vjp(jnp.ones_like(c))
+            return c, g
 
     def project(x):
         if lower is not None:

@@ -34,12 +34,22 @@ class IKConfig:
     # B-last fused compute path (ops/blast.py) when the problem shape
     # supports it (single tool, single goal) — large TPU speedup.
     use_blast: bool = True
+    # Pallas mega-kernel cost+grad (ops/pallas_ik.py): one fused TPU kernel
+    # for the whole objective. The world is baked into the kernel; solves
+    # with a world whose VALUES changed trigger a rebuild (fingerprinted).
+    use_pallas: bool = True
     use_particle_stage: bool = True
     mppi: MPPIConfig = MPPIConfig(n_particles=32, n_iters=8, init_std=0.6)
     lbfgs: LBFGSConfig = LBFGSConfig(history=12, n_iters=40)
     rollout: RobotRolloutConfig = RobotRolloutConfig()
     position_threshold: float = 0.005
     rotation_threshold: float = 0.05
+
+    @staticmethod
+    def from_yaml(path_or_dict) -> "IKConfig":
+        from curobo_tpu.util.config_io import dataclass_from_dict, load_yaml
+
+        return dataclass_from_dict(IKConfig, load_yaml(path_or_dict))
 
 
 @jax.tree_util.register_dataclass
@@ -77,6 +87,92 @@ class IKSolver:
             dtype=jnp.float32,
         )
         self._solve_jit = jax.jit(self._solve_impl)
+        # pallas path: (world fingerprint -> (PallasIKCost, jitted solve))
+        self._pallas_cache = {}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _world_fingerprint(world) -> bytes:
+        import hashlib
+
+        h = hashlib.sha1()
+        for leaf in jax.tree.leaves(world):
+            h.update(np.asarray(leaf).tobytes())
+        return h.digest()
+
+    def _get_pallas_solver(self, world):
+        from curobo_tpu.ops.pallas_ik import PallasIKCost
+
+        key = self._world_fingerprint(world)
+        if key not in self._pallas_cache:
+            import functools
+
+            pik = PallasIKCost(self.params, self.cfg.rollout, world)
+            solve = jax.jit(functools.partial(self._solve_impl_pallas, pik=pik))
+            self._pallas_cache = {key: solve}
+        return self._pallas_cache[key]
+
+    def _solve_impl_pallas(
+        self,
+        world: world_mod.WorldData,  # still passed for the metrics pass
+        goal: Goal,
+        seeds: jnp.ndarray,
+        key: jax.Array,
+        pik=None,
+    ) -> IKResult:
+        """Solve using the fused Pallas cost+grad kernel for both stages."""
+        cfg = self.cfg
+        p = self.params
+        B, S, D = seeds.shape
+        goal_s = goal.tile_seeds(S)
+        goal7 = jnp.concatenate(
+            [goal_s.goal_pos[..., 0, 0, :], goal_s.goal_quat[..., 0, 0, :]], axis=-1
+        )  # (B, S, 7)
+
+        lo = jnp.maximum(p.joint_limits.lower, -2.0 * np.pi)
+        hi = jnp.minimum(p.joint_limits.upper, 2.0 * np.pi)
+
+        def flat(x):
+            lead = x.shape[:-1]
+            g7 = jnp.broadcast_to(goal7, lead + (7,)).reshape(-1, 7)
+            return g7, x.reshape(-1, D), lead
+
+        def cost(x):
+            g7, q, lead = flat(x)
+            return pik.cost_only(g7, q).reshape(lead)
+
+        def cost_grad(x):
+            g7, q, lead = flat(x)
+            c, g = pik(g7, q)
+            return c.reshape(lead), g.reshape(lead + (D,))
+
+        x = seeds
+        if cfg.use_particle_stage:
+            x, _ = mppi_optimize(cost, x, key, cfg.mppi, lower=lo, upper=hi)
+        x, _ = lbfgs_optimize(
+            cost, x, cfg.lbfgs, lower=lo, upper=hi, cost_grad_fn=cost_grad
+        )
+
+        # metrics pass on the blast path (exact, includes feasibility flags)
+        res = self._blast.evaluate_config(world, goal_s, x)
+        conv = res.converged(cfg.position_threshold, cfg.rotation_threshold)
+        score = jnp.where(conv, res.cost, BIG + res.pos_err)
+        best = jnp.argmin(score, axis=-1)
+
+        def take(a):
+            return jnp.take_along_axis(
+                a, best.reshape(best.shape + (1,) * (a.ndim - 1)), axis=1
+            )[:, 0]
+
+        return IKResult(
+            solution=take(x),
+            success=take(conv),
+            position_error=take(res.pos_err),
+            rotation_error=take(res.rot_err),
+            cost=take(res.cost),
+            seed_solutions=x,
+            seed_success=conv,
+        )
 
     # ------------------------------------------------------------------
     def generate_seeds(self, batch: int, seed_state: Optional[jnp.ndarray] = None
@@ -166,4 +262,15 @@ class IKSolver:
         seeds = self.generate_seeds(B, seed_state)
         if key is None:
             key = jax.random.PRNGKey(0)
+        if self.cfg.use_pallas:
+            from curobo_tpu.ops.blast import BlastRollout
+            from curobo_tpu.ops.pallas_ik import world_is_supported
+
+            if (
+                BlastRollout.supports(self.params, goal)
+                and world_is_supported(world)
+                and jax.default_backend() == "tpu"
+            ):
+                solve = self._get_pallas_solver(world)
+                return solve(world, goal, seeds, key)
         return self._solve_jit(world, goal, seeds, key)

@@ -59,6 +59,12 @@ class MPCConfig:
     brake_decay: float = 0.75
     cold_start_iters: int = 4  # extra MPPI iteration multiplier on first tick
 
+    @staticmethod
+    def from_yaml(path_or_dict) -> "MPCConfig":
+        from curobo_tpu.util.config_io import dataclass_from_dict, load_yaml
+
+        return dataclass_from_dict(MPCConfig, load_yaml(path_or_dict))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

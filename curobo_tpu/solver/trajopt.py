@@ -60,6 +60,12 @@ class TrajOptConfig:
     finetune_attempts: int = 2
     finetune_dt_scale: float = 0.85
 
+    @staticmethod
+    def from_yaml(path_or_dict) -> "TrajOptConfig":
+        from curobo_tpu.util.config_io import dataclass_from_dict, load_yaml
+
+        return dataclass_from_dict(TrajOptConfig, load_yaml(path_or_dict))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

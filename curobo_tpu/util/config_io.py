@@ -24,6 +24,38 @@ def write_yaml(data: dict, path: str) -> None:
         yaml.safe_dump(data, f, default_flow_style=None, sort_keys=False)
 
 
+def dataclass_from_dict(cls_or_default, d: dict):
+    """Build a (possibly nested) frozen config dataclass from a dict.
+
+    Nested dataclass fields recurse using the field default's type; lists
+    become tuples (hashable/static under jit). Unknown keys raise.
+    Parity: the reference's YAML-to-Cfg factories (`solver_core_cfg.py`).
+    """
+    import dataclasses
+
+    if dataclasses.is_dataclass(cls_or_default) and not isinstance(cls_or_default, type):
+        cls = type(cls_or_default)
+        base = cls_or_default
+    else:
+        cls = cls_or_default
+        base = cls()
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            raise ValueError(f"unknown config key {k!r} for {cls.__name__}")
+        default = getattr(base, k)
+        if dataclasses.is_dataclass(default) and isinstance(v, dict):
+            kwargs[k] = dataclass_from_dict(default, v)
+        elif isinstance(v, list):
+            kwargs[k] = tuple(
+                tuple(x) if isinstance(x, list) else x for x in v
+            )
+        else:
+            kwargs[k] = v
+    return dataclasses.replace(base, **kwargs)
+
+
 def merge_dict_a_into_b(a: dict, b: dict) -> dict:
     """Recursively merge ``a`` on top of ``b`` (a wins), returning ``b``."""
     for k, v in a.items():
