@@ -42,7 +42,20 @@ def main():
     st = compute_kinematics(kin.params, jnp.asarray(q_goal))
     goals = Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
 
-    solver = IKSolver(kin.params, IKConfig(n_seeds=32))
+    from curobo_tpu.opt.lbfgs import LBFGSConfig, LineSearchConfig
+    from curobo_tpu.opt.mppi import MPPIConfig
+
+    solver = IKSolver(
+        kin.params,
+        IKConfig(
+            n_seeds=32,
+            mppi=MPPIConfig(n_particles=16, n_iters=5, init_std=0.6),
+            lbfgs=LBFGSConfig(
+                history=10, n_iters=28,
+                line_search=LineSearchConfig(scales=(0.05, 0.2, 0.5, 0.8, 1.0, 1.4)),
+            ),
+        ),
+    )
 
     # compile + warmup
     res = solver.solve_pose(world, goals)
