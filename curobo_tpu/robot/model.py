@@ -70,8 +70,9 @@ class RobotModelConfig:
     links: List[LinkSpec]
     lock_joints: Dict[str, float] = dataclasses.field(default_factory=dict)
     retract_config: Optional[List[float]] = None
-    max_acceleration: float = 15.0
-    max_jerk: float = 500.0
+    # scalar or per-dof list
+    max_acceleration: object = 15.0
+    max_jerk: object = 500.0
     velocity_scale: float = 1.0
     cspace_weight: Optional[List[float]] = None
     null_space_weight: Optional[List[float]] = None
@@ -205,6 +206,11 @@ def build_kinematics_params(
     """Assemble the device-side struct-of-arrays robot model."""
     # ---- topological order (parents before children) -------------------
     by_name = {l.name: l for l in cfg.links}
+    if len(by_name) != len(cfg.links):
+        from collections import Counter
+
+        dupes = [n for n, c in Counter(l.name for l in cfg.links).items() if c > 1]
+        raise ValueError(f"duplicate link names in robot config: {dupes}")
     if cfg.base_link not in by_name:
         raise ValueError(f"base_link {cfg.base_link!r} not among links")
     order: List[str] = []
@@ -384,12 +390,22 @@ def build_kinematics_params(
         dtype=np.float32,
     )
 
+    def per_dof(v):
+        arr = np.asarray(v, dtype=np.float32)
+        if arr.ndim == 0:
+            return jnp.full((n_dof,), float(arr), dtype=dtype)
+        if arr.shape != (n_dof,):
+            raise ValueError(
+                f"per-dof limit list has {arr.shape[0]} entries, expected {n_dof}"
+            )
+        return jnp.asarray(arr, dtype=dtype)
+
     limits = JointLimits(
         lower=jnp.asarray(lim_lower, dtype=dtype),
         upper=jnp.asarray(lim_upper, dtype=dtype),
         velocity=jnp.asarray(lim_vel, dtype=dtype),
-        acceleration=jnp.full((n_dof,), cfg.max_acceleration, dtype=dtype),
-        jerk=jnp.full((n_dof,), cfg.max_jerk, dtype=dtype),
+        acceleration=per_dof(cfg.max_acceleration),
+        jerk=per_dof(cfg.max_jerk),
         effort=jnp.asarray(lim_effort, dtype=dtype),
     )
 

@@ -1,0 +1,107 @@
+"""Unitree G1 humanoid tests: floating-base kinematics, whole-body IK
+(BASELINE config 5 scale: 49 dof, 674 spheres, >100k self-collision pairs)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curobo_tpu.geom import world as wm
+from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
+from curobo_tpu.robot.params import JOINT_PRISMATIC
+from curobo_tpu.types.pose import Pose
+
+CONTENT = os.path.join(os.path.dirname(__file__), "..", "curobo_tpu", "content", "robots")
+
+
+@pytest.fixture(scope="module")
+def g1():
+    return Kinematics.from_robot_yaml(os.path.join(CONTENT, "unitree_g1.yml"))
+
+
+class TestG1Model:
+    def test_scale(self, g1):
+        p = g1.params
+        assert p.n_dof == 49  # 6 floating base + 43 body
+        assert p.n_spheres >= 600
+        assert len(p.self_collision.pair_a) > 1000  # map-reduce scale
+        assert p.joint_names[:3] == ("base_j_x", "base_j_y", "base_j_z")
+        assert len(p.tool_frame_names) == 4  # both hands + both feet
+
+    def test_floating_base_translates(self, g1):
+        p = g1.params
+        q = p.retract_config
+        st0 = compute_kinematics(p, q)
+        # move the virtual base 1m in x: every tool frame shifts by exactly 1m
+        q2 = q.at[0].add(1.0)
+        st1 = compute_kinematics(p, q2)
+        np.testing.assert_allclose(
+            np.asarray(st1.tool_pose.position - st0.tool_pose.position),
+            np.tile([1.0, 0, 0], (4, 1)),
+            atol=1e-5,
+        )
+
+    def test_floating_base_yaw(self, g1):
+        p = g1.params
+        q = p.retract_config.at[5].add(np.pi / 2)  # base_j_ztheta
+        st = compute_kinematics(p, q)
+        st0 = compute_kinematics(p, p.retract_config)
+        # right hand's x/y swap under a 90 deg yaw about the base origin
+        p0 = np.asarray(st0.tool_pose.position[0])
+        p1 = np.asarray(st.tool_pose.position[0])
+        np.testing.assert_allclose(p1[2], p0[2], atol=1e-5)
+        np.testing.assert_allclose(p1[:2], [-p0[1], p0[0]], atol=1e-4)
+
+    def test_batched_fk_and_self_collision(self, g1):
+        p = g1.params
+        rng = np.random.RandomState(0)
+        B = 16
+        q = jnp.asarray(
+            p.retract_config + rng.uniform(-0.1, 0.1, (B, p.n_dof)), dtype=jnp.float32
+        )
+        st = compute_kinematics(p, q)
+        assert st.spheres.shape == (B, p.n_spheres, 4)
+        from curobo_tpu.geom.self_collision import self_collision_distance
+
+        d = self_collision_distance(p.self_collision, st.spheres)
+        assert d.shape == (B,)
+        assert np.isfinite(np.asarray(d)).all()
+
+
+class TestG1IK:
+    def test_whole_body_reach(self, g1):
+        # small-batch whole-body IK: reach with the right hand while the
+        # base stays near origin (null-space pulls toward retract)
+        from curobo_tpu.opt.lbfgs import LBFGSConfig
+        from curobo_tpu.opt.mppi import MPPIConfig
+        from curobo_tpu.rollout.robot_rollout import RobotRolloutConfig
+        from curobo_tpu.solver.ik import IKConfig, IKSolver
+
+        p = g1.params
+        world = wm.empty_world()
+        # goal: FK of a perturbed config's right hand
+        rng = np.random.RandomState(1)
+        q_goal = jnp.asarray(
+            p.retract_config
+            + rng.uniform(-0.2, 0.2, (2, p.n_dof)) * (np.arange(p.n_dof) >= 6),
+            dtype=jnp.float32,
+        )
+        st = compute_kinematics(p, q_goal)
+        # single-tool goal on tool frame 0 is unsupported by blast (4 tools);
+        # use the generic path with a 4-tool goalset = all four FK frames
+        goals = Pose(st.tool_pose.position, st.tool_pose.quaternion)  # (2, 4)
+        solver = IKSolver(
+            p,
+            IKConfig(
+                n_seeds=4, use_blast=False, use_pallas=False,
+                mppi=MPPIConfig(n_particles=8, n_iters=2, init_std=0.1),
+                lbfgs=LBFGSConfig(history=8, n_iters=25, max_step=0.3),
+                rollout=RobotRolloutConfig(null_space_weight=0.01),
+            ),
+        )
+        res = solver.solve_pose(world, goals, seed_state=p.retract_config)
+        # whole-body IK on 4 simultaneous tool goals: should get close
+        assert float(jnp.min(res.position_error)) < 0.05
+        assert np.isfinite(np.asarray(res.cost)).all()

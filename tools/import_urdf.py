@@ -28,6 +28,23 @@ def _floats(x):
     return [float(v) for v in x]
 
 
+_TYPED_JOINTS = {
+    "X_PRISM": ("prismatic", (1.0, 0.0, 0.0)),
+    "Y_PRISM": ("prismatic", (0.0, 1.0, 0.0)),
+    "Z_PRISM": ("prismatic", (0.0, 0.0, 1.0)),
+    "X_ROT": ("revolute", (1.0, 0.0, 0.0)),
+    "Y_ROT": ("revolute", (0.0, 1.0, 0.0)),
+    "Z_ROT": ("revolute", (0.0, 0.0, 1.0)),
+    "FIXED": ("fixed", (0.0, 0.0, 1.0)),
+}
+
+
+def _quat_to_rpy(ft):
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_quat([ft[4], ft[5], ft[6], ft[3]]).as_euler("xyz")
+
+
 def build_config(
     urdf_path: str,
     base_link: str,
@@ -37,24 +54,78 @@ def build_config(
 ) -> dict:
     robot = urdf_mod.parse_urdf(urdf_path)
     by_child = robot.joint_by_child
+    urdf_root = robot.root_link()
+
+    # Floating-base / chain extra links (e.g. unitree_g1's 6-dof virtual
+    # base): built BEFORE the URDF subtree, which re-roots under the chain.
+    chain_links = []
+    reroot_parent = None
+    reroot_child = None
+    kin_annex = (annex or {}).get("robot_cfg", annex or {}).get("kinematics", {}) if annex else {}
+    extra_links = kin_annex.get("extra_links") or {}
+    chain_extras = {
+        n: e for n, e in extra_links.items()
+        if (
+            e.get("joint_type", "FIXED").upper() in _TYPED_JOINTS
+            and e.get("joint_type", "FIXED").upper() != "FIXED"
+        )
+        or e.get("child_link_name")
+    }
+    if chain_extras:
+        # topologically order the chain from base_link
+        by_parent = {e["parent_link_name"]: (n, e) for n, e in chain_extras.items()}
+        cur = base_link
+        while cur in by_parent:
+            n, e = by_parent[cur]
+            jt, axis = _TYPED_JOINTS[e.get("joint_type", "FIXED").upper()]
+            ft = e.get("fixed_transform", [0, 0, 0, 1, 0, 0, 0])
+            lim = e.get("joint_limits", [-10.0, 10.0])
+            vlim = e.get("joint_velocity_limits", [-1.0, 1.0])
+            d = {
+                "name": e["link_name"],
+                "parent": e["parent_link_name"],
+                "joint_name": e.get("joint_name", f"{n}_joint"),
+                "joint_type": jt,
+                "origin_xyz": _floats(ft[:3]),
+                "origin_rpy": _floats(_quat_to_rpy(ft)),
+            }
+            if jt != "fixed":
+                d["axis"] = list(axis)
+                d["limits"] = [float(lim[0]), float(lim[1]), float(abs(vlim[-1])), 1e6]
+            chain_links.append(d)
+            if e.get("child_link_name"):
+                reroot_parent = e["link_name"]
+                reroot_child = e["child_link_name"]
+            cur = e["link_name"]
 
     children = {}
     for j in robot.joints.values():
         children.setdefault(j.parent_link, []).append(j.child_link)
+    subtree_root = base_link if base_link in robot.links else urdf_root
     keep = []
-    stack = [base_link]
+    stack = [subtree_root]
     while stack:
         l = stack.pop(0)
         keep.append(l)
         stack.extend(sorted(children.get(l, [])))
     if keep_links is not None:
-        keep = [l for l in keep if l in set(keep_links) or l == base_link]
+        keep = [l for l in keep if l in set(keep_links) or l == subtree_root]
 
     links_out = []
+    if chain_links:
+        if base_link not in robot.links:
+            links_out.append({"name": base_link})
+        links_out.extend(chain_links)
     for name in keep:
         link = robot.links[name]
         d = {"name": name}
-        if name != base_link:
+        if name == reroot_child and reroot_parent is not None:
+            # splice the chain: this link's original URDF joint is replaced
+            # by a fixed attachment under the floating-base chain end
+            d["parent"] = reroot_parent
+            d["joint_name"] = f"{name}_root_joint"
+            d["joint_type"] = "fixed"
+        elif name != subtree_root:
             j = by_child[name]
             if j.parent_link not in keep:
                 continue
@@ -131,7 +202,8 @@ def build_config(
                 ("max_jerk", "max_jerk"),
             ]:
                 if src in cspace:
-                    r["cspace"][dst] = float(cspace[src])
+                    v = cspace[src]
+                    r["cspace"][dst] = remap(v) if isinstance(v, list) else float(v)
             if "cspace_distance_weight" in cspace:
                 r["cspace"]["cspace_weight"] = remap(cspace["cspace_distance_weight"])
             if "null_space_weight" in cspace:
@@ -164,8 +236,11 @@ def build_config(
             r["collision"] = col
         extra = kin.get("extra_collision_spheres") or {}
         extra_links = kin.get("extra_links") or {}
+        chain_names = {d["name"] for d in chain_links}
         if extra_links:
             for name, el in extra_links.items():
+                if el.get("link_name", name) in chain_names:
+                    continue  # already emitted as floating-base chain
                 ft = el.get("fixed_transform", [0, 0, 0, 1, 0, 0, 0])
                 # fixed_transform is [x y z qw qx qy qz]; convert quat->rpy.
                 from scipy.spatial.transform import Rotation
