@@ -126,6 +126,49 @@ class MotionPlanner:
         )
 
     # ------------------------------------------------------------------
+    def plan_grasp(
+        self,
+        world: world_mod.WorldData,
+        grasp_pose: Pose,  # (B,)
+        start_state: JointState,
+        approach_offset: float = 0.1,
+        key: Optional[jax.Array] = None,
+    ):
+        """Two-phase grasp: plan to a pre-grasp pose offset along the tool's
+        approach (-z) axis, then a straight collision-checked approach to
+        the grasp pose. Parity: reference `plan_grasp` (`motion_planner.py:419`).
+
+        Returns (approach_plan: MotionPlanResult, grasp_traj: JointState,
+        grasp_success (B,)).
+        """
+        from curobo_tpu.math import quaternion as qm
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        # pre-grasp: offset along the grasp frame's -z (approach) axis
+        z_axis = qm.quat_rotate(grasp_pose.quaternion, jnp.asarray([0.0, 0.0, 1.0]))
+        pregrasp = Pose(
+            grasp_pose.position - approach_offset * z_axis, grasp_pose.quaternion
+        )
+        k1, k2 = jax.random.split(key)
+        approach = self.plan_pose(world, pregrasp, start_state, key=k1)
+
+        # grasp phase: IK at the grasp pose seeded from the pre-grasp end,
+        # then straight-line cspace approach (collision-validated)
+        q_pre = approach.solver_trajectory.position[:, -1]
+        ik_res = self.ik.solve_pose(world, grasp_pose, key=k2, seed_state=q_pre)
+        H = 12
+        alphas = jnp.linspace(0.0, 1.0, H)[None, :, None]
+        seg = q_pre[:, None] * (1 - alphas) + ik_res.solution[:, None] * alphas
+        from curobo_tpu.collision.robot_scene import RobotSceneCollision
+
+        rsc = RobotSceneCollision(self.params)
+        seg_ok = rsc.validate_trajectory(world, seg)
+        grasp_traj = JointState.from_position(seg, self.params.joint_names)
+        success = approach.success & ik_res.success & seg_ok
+        return approach, grasp_traj, success
+
+    # ------------------------------------------------------------------
     def plan_cspace(
         self,
         world: world_mod.WorldData,
