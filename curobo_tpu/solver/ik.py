@@ -103,12 +103,43 @@ class IKSolver:
     def _get_pallas_solver(self, world):
         from curobo_tpu.ops.pallas_ik import PallasIKCost
 
+        # Fast path: the same world OBJECT was just used -> skip re-hashing
+        # (hashing pulls every world array to the host).
+        oid = id(world)
+        if getattr(self, "_last_world_oid", None) == oid and self._pallas_cache:
+            return next(iter(self._pallas_cache.values()))
+        self._last_world_oid = oid
         key = self._world_fingerprint(world)
         if key not in self._pallas_cache:
             import functools
 
             pik = PallasIKCost(self.params, self.cfg.rollout, world)
-            solve = jax.jit(functools.partial(self._solve_impl_pallas, pik=pik))
+            lb = self.cfg.lbfgs
+            lbfgs_solve = pik.build_lbfgs_solver(
+                n_iters=lb.n_iters, history=lb.history, max_step=lb.max_step
+            )
+            mp = self.cfg.mppi
+            mppi_solve = (
+                pik.build_mppi_solver(
+                    n_iters=mp.n_iters,
+                    n_particles=mp.n_particles,
+                    init_std=float(mp.init_std),
+                    std_decay=mp.std_decay,
+                    min_std=mp.min_std,
+                    temperature=mp.temperature,
+                    step_size=mp.step_size,
+                )
+                if self.cfg.use_particle_stage
+                else None
+            )
+            solve = jax.jit(
+                functools.partial(
+                    self._solve_impl_pallas,
+                    pik=pik,
+                    lbfgs_solve=lbfgs_solve,
+                    mppi_solve=mppi_solve,
+                )
+            )
             self._pallas_cache = {key: solve}
         return self._pallas_cache[key]
 
@@ -119,8 +150,12 @@ class IKSolver:
         seeds: jnp.ndarray,
         key: jax.Array,
         pik=None,
+        lbfgs_solve=None,
+        mppi_solve=None,
     ) -> IKResult:
-        """Solve using the fused Pallas cost+grad kernel for both stages."""
+        """Solve using the fused Pallas kernels: cost-only kernel for the
+        MPPI stage, then the full in-kernel L-BFGS solver (all iterations
+        in ONE dispatch)."""
         cfg = self.cfg
         p = self.params
         B, S, D = seeds.shape
@@ -137,21 +172,13 @@ class IKSolver:
             g7 = jnp.broadcast_to(goal7, lead + (7,)).reshape(-1, 7)
             return g7, x.reshape(-1, D), lead
 
-        def cost(x):
-            g7, q, lead = flat(x)
-            return pik.cost_only(g7, q).reshape(lead)
-
-        def cost_grad(x):
-            g7, q, lead = flat(x)
-            c, g = pik(g7, q)
-            return c.reshape(lead), g.reshape(lead + (D,))
-
         x = seeds
-        if cfg.use_particle_stage:
-            x, _ = mppi_optimize(cost, x, key, cfg.mppi, lower=lo, upper=hi)
-        x, _ = lbfgs_optimize(
-            cost, x, cfg.lbfgs, lower=lo, upper=hi, cost_grad_fn=cost_grad
-        )
+        g7, q, lead = flat(x)
+        if mppi_solve is not None:
+            seed_scalar = jax.random.randint(key, (), 0, 2**31 - 1)
+            q, _ = mppi_solve(g7, q, seed_scalar)
+        q, _ = lbfgs_solve(g7, q)
+        x = q.reshape(lead + (D,))
 
         # metrics pass on the blast path (exact, includes feasibility flags)
         res = self._blast.evaluate_config(world, goal_s, x)
