@@ -30,6 +30,9 @@ class MotionPlanConfig:
     trajopt: TrajOptConfig = TrajOptConfig()
     n_trajopt_seeds: int = 4
     max_attempts: int = 2
+    # attempt index at which PRM graph seeding kicks in (reference
+    # `enable_graph_attempt`, `motion_planner.py:233-296`); -1 disables
+    enable_graph_attempt: int = 1
     interpolation_dt: float = 0.02
 
 
@@ -52,6 +55,23 @@ class MotionPlanner:
         self.cfg = cfg
         self.ik = IKSolver(params, cfg.ik)
         self.trajopt = TrajOptSolver(params, cfg.trajopt)
+        self._prm = None  # built lazily on first graph-seeded attempt
+
+    def _graph_seed_paths(self, world, q_start, seeds):
+        """PRM paths from start to each seed config -> (B, S, P, D) waypoints.
+
+        Parity: reference `_get_graph_seed_trajectories` (`motion_planner.py:386`).
+        """
+        from curobo_tpu.graph.prm import PRMConfig, PRMGraphPlanner
+
+        if self._prm is None:
+            self._prm = PRMGraphPlanner(self.params, PRMConfig(n_nodes=256))
+        B, S, D = seeds.shape
+        flat_goal = seeds.reshape(B * S, D)
+        flat_start = jnp.broadcast_to(q_start[:, None], (B, S, D)).reshape(B * S, D)
+        res = self._prm.plan(world, flat_start, flat_goal)
+        P = res.paths.shape[1]
+        return res.paths.reshape(B, S, P, D)
 
     # ------------------------------------------------------------------
     def _select_seeds(self, ik_res, n: int) -> jnp.ndarray:
@@ -92,7 +112,12 @@ class MotionPlanner:
             )
             ik_success = ik_success | ik_res.success
             seeds = self._select_seeds(ik_res, cfg.n_trajopt_seeds)
-            res = self.trajopt.solve_pose(world, goal_pose, q_start, seeds, key=k_to)
+            seed_paths = None
+            if cfg.enable_graph_attempt >= 0 and attempt >= cfg.enable_graph_attempt:
+                seed_paths = self._graph_seed_paths(world, q_start, seeds)
+            res = self.trajopt.solve_pose(
+                world, goal_pose, q_start, seeds, key=k_to, seed_paths=seed_paths
+            )
             if best is None:
                 best = res
             else:

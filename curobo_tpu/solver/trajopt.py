@@ -180,10 +180,12 @@ class TrajOptSolver:
         q_start: jnp.ndarray,  # (B, D)
         seed_q: jnp.ndarray,  # (B, S, D) end configurations (IK solutions)
         key: Optional[jax.Array] = None,
+        seed_paths: Optional[jnp.ndarray] = None,  # (B, S, P, D) waypoint paths
     ) -> TrajOptResult:
-        """Plan trajectories from q_start to pose goals, seeded by IK results."""
+        """Plan trajectories from q_start to pose goals, seeded by IK results
+        (and optionally by graph-planner waypoint paths)."""
         goal = Goal.from_pose(goal_pose)
-        return self._solve(world, goal, q_start, seed_q, key)
+        return self._solve(world, goal, q_start, seed_q, key, seed_paths)
 
     def solve_cspace(
         self,
@@ -208,16 +210,19 @@ class TrajOptSolver:
         return self._solve(world, goal, q_start, seed_q, key)
 
     # ------------------------------------------------------------------
-    def _solve(self, world, goal, q_start, seed_q, key) -> TrajOptResult:
+    def _solve(self, world, goal, q_start, seed_q, key, seed_paths=None) -> TrajOptResult:
         cfg = self.cfg
         B, S, D = seed_q.shape
         if key is None:
             key = jax.random.PRNGKey(0)
 
-        # linear-in-joint-space B-spline seeds
-        free0 = self.transition.linear_seed(
-            jnp.broadcast_to(q_start[:, None], (B, S, D)), seed_q
-        )
+        # B-spline seeds: linear in joint space, or fitted to graph paths
+        if seed_paths is not None:
+            free0 = self.transition.path_seed(seed_paths)
+        else:
+            free0 = self.transition.linear_seed(
+                jnp.broadcast_to(q_start[:, None], (B, S, D)), seed_q
+            )
         dt = jnp.broadcast_to(self.estimate_dt(q_start[:, None], seed_q), (B, S))
 
         best = None  # host-side per-problem best tracker

@@ -155,6 +155,26 @@ class BSplineTransition:
             return ctrl[..., N_PIN : n - N_PIN, :]
         return ctrl[..., N_PIN:, :]
 
+    def path_seed(self, waypoints: jnp.ndarray, q_goal_pinned: bool = False) -> jnp.ndarray:
+        """Free knots approximating a waypoint path (..., P, D).
+
+        Control points are placed at uniform arc positions along the
+        piecewise-linear path, so the spline tracks graph-planner paths
+        (reference graph-seeded trajopt, `motion_planner.py:386`).
+        """
+        n = self.cfg.n_control
+        P = waypoints.shape[-2]
+        # uniform param positions of the control points along the path
+        t = np.linspace(0.0, 1.0, n) * (P - 1)
+        i0 = np.clip(np.floor(t).astype(int), 0, P - 2)
+        frac = jnp.asarray(t - i0, waypoints.dtype)[:, None]
+        w0 = waypoints[..., i0, :]
+        w1 = waypoints[..., i0 + 1, :]
+        ctrl = w0 * (1.0 - frac) + w1 * frac
+        if q_goal_pinned:
+            return ctrl[..., N_PIN : n - N_PIN, :]
+        return ctrl[..., N_PIN:, :]
+
     def evaluate_at(
         self, control: jnp.ndarray, dt: jnp.ndarray, t_query: jnp.ndarray,
     ) -> jnp.ndarray:
