@@ -35,11 +35,14 @@ def main():
     )
 
     B = 100
-    rng = np.random.RandomState(42)
-    lo = np.asarray(kin.params.joint_limits.lower)
-    hi = np.asarray(kin.params.joint_limits.upper)
-    q_goal = rng.uniform(lo + 0.1 * (hi - lo), hi - 0.1 * (hi - lo), (B, 7)).astype(np.float32)
-    st = compute_kinematics(kin.params, jnp.asarray(q_goal))
+    # Goals = FK of COLLISION-FREE sampled configs (matching the reference
+    # benchmark protocol — every goal is reachable without collision).
+    from curobo_tpu.collision.robot_scene import RobotSceneCollision
+
+    rsc = RobotSceneCollision(kin.params)
+    q_goal, ok = rsc.sample(world, B)
+    assert bool(jnp.all(ok)), "goal sampling failed to find enough configs"
+    st = compute_kinematics(kin.params, q_goal)
     goals = Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
 
     from curobo_tpu.opt.lbfgs import LBFGSConfig, LineSearchConfig
