@@ -45,6 +45,42 @@ def _quat_to_rpy(ft):
     return Rotation.from_quat([ft[4], ft[5], ft[6], ft[3]]).as_euler("xyz")
 
 
+def xrdf_to_annex(x: dict) -> dict:
+    """Convert an XRDF document (format: xrdf, v1.0) into the annex shape
+    this importer consumes. Parity: reference `util/xrdf_util.py`."""
+    if x.get("format") != "xrdf":
+        raise ValueError("not an XRDF document")
+    kin: dict = {}
+    cspace = x.get("cspace", {})
+    joint_names = list(cspace.get("joint_names", []))
+    kin["cspace"] = {
+        "joint_names": joint_names,
+        "max_acceleration": cspace.get("acceleration_limits", 15.0),
+        "max_jerk": cspace.get("jerk_limits", 500.0),
+    }
+    djp = x.get("default_joint_positions")
+    if djp:
+        kin["cspace"]["default_joint_position"] = [
+            float(djp.get(j, 0.0)) for j in joint_names
+        ]
+    kin["tool_frames"] = list(x.get("tool_frames", []))
+    for mod in x.get("modifiers", []) or []:
+        if "set_base_frame" in mod:
+            kin["base_link"] = mod["set_base_frame"]
+    geom = x.get("geometry", {})
+    col = x.get("collision", {})
+    if col.get("geometry") in geom:
+        kin["collision_spheres"] = geom[col["geometry"]].get("spheres", {})
+        buf = col.get("buffer_distance")
+        if isinstance(buf, (int, float)):
+            kin["collision_sphere_buffer"] = float(buf)
+    sc = x.get("self_collision", {})
+    if sc:
+        kin["self_collision_ignore"] = sc.get("ignore", {})
+        kin["self_collision_buffer"] = sc.get("buffer_distance", {})
+    return {"kinematics": kin}
+
+
 def build_config(
     urdf_path: str,
     base_link: str,
@@ -277,6 +313,8 @@ def main():
     if args.annex:
         with open(args.annex) as f:
             annex = yaml.safe_load(f)
+        if isinstance(annex, dict) and annex.get("format") == "xrdf":
+            annex = xrdf_to_annex(annex)
 
     cfg = build_config(
         args.urdf, args.base_link, args.tool_frames.split(","), annex=annex
