@@ -246,6 +246,103 @@ def _rot_to_quat_blast(R: list) -> Tuple[jnp.ndarray, ...]:
     return w * inv, x * inv, y * inv, z * inv
 
 
+def scene_min_sdf_blast(world: world_mod.WorldData, sx, sy, sz):
+    """Min signed distance per robot sphere across all obstacles.
+
+    sx/sy/sz: (S, ...) lane-aligned sphere coordinates; obstacle loops
+    unroll at trace time over the (static) per-type capacities.
+    """
+    min_sdf = jnp.full(sx.shape, BIG, sx.dtype)
+
+    cb = world.cuboids
+    for k in range(len(cb.names)):
+        R = cb.rot[k]
+        pos = cb.pos[k]
+        half = cb.half_dims[k]
+        en = cb.enabled[k]
+        lx = R[0, 0] * (sx - pos[0]) + R[1, 0] * (sy - pos[1]) + R[2, 0] * (sz - pos[2])
+        ly = R[0, 1] * (sx - pos[0]) + R[1, 1] * (sy - pos[1]) + R[2, 1] * (sz - pos[2])
+        lz = R[0, 2] * (sx - pos[0]) + R[1, 2] * (sy - pos[1]) + R[2, 2] * (sz - pos[2])
+        qx = jnp.abs(lx) - half[0]
+        qy = jnp.abs(ly) - half[1]
+        qz = jnp.abs(lz) - half[2]
+        outside = jnp.sqrt(
+            jnp.maximum(qx, 0.0) ** 2
+            + jnp.maximum(qy, 0.0) ** 2
+            + jnp.maximum(qz, 0.0) ** 2
+            + 1e-12
+        )
+        inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+        d = jnp.where(en > 0, outside + inside, BIG)
+        min_sdf = jnp.minimum(min_sdf, d)
+
+    sp = world.spheres
+    for k in range(len(sp.names)):
+        c = sp.center[k]
+        d = (
+            jnp.sqrt((sx - c[0]) ** 2 + (sy - c[1]) ** 2 + (sz - c[2]) ** 2 + 1e-12)
+            - sp.radius[k]
+        )
+        min_sdf = jnp.minimum(min_sdf, jnp.where(sp.enabled[k] > 0, d, BIG))
+
+    cp = world.capsules
+    for k in range(len(cp.names)):
+        R, pos = cp.rot[k], cp.pos[k]
+        a = R @ cp.base[k] + pos
+        b = R @ cp.tip[k] + pos
+        bax, bay, baz = b[0] - a[0], b[1] - a[1], b[2] - a[2]
+        denom = jnp.maximum(bax * bax + bay * bay + baz * baz, 1e-12)
+        pax, pay, paz = sx - a[0], sy - a[1], sz - a[2]
+        h = jnp.clip((pax * bax + pay * bay + paz * baz) / denom, 0.0, 1.0)
+        d = (
+            jnp.sqrt(
+                (pax - bax * h) ** 2 + (pay - bay * h) ** 2 + (paz - baz * h) ** 2
+                + 1e-12
+            )
+            - cp.radius[k]
+        )
+        min_sdf = jnp.minimum(min_sdf, jnp.where(cp.enabled[k] > 0, d, BIG))
+
+    cy = world.cylinders
+    for k in range(len(cy.names)):
+        R, pos = cy.rot[k], cy.pos[k]
+        lx = R[0, 0] * (sx - pos[0]) + R[1, 0] * (sy - pos[1]) + R[2, 0] * (sz - pos[2])
+        ly = R[0, 1] * (sx - pos[0]) + R[1, 1] * (sy - pos[1]) + R[2, 1] * (sz - pos[2])
+        lz = R[0, 2] * (sx - pos[0]) + R[1, 2] * (sy - pos[1]) + R[2, 2] * (sz - pos[2])
+        dr = jnp.sqrt(lx * lx + ly * ly + 1e-12) - cy.radius[k]
+        dz = jnp.abs(lz) - cy.half_height[k]
+        d = jnp.sqrt(
+            jnp.maximum(dr, 0.0) ** 2 + jnp.maximum(dz, 0.0) ** 2 + 1e-12
+        ) + jnp.minimum(jnp.maximum(dr, dz), 0.0)
+        min_sdf = jnp.minimum(min_sdf, jnp.where(cy.enabled[k] > 0, d, BIG))
+
+    for vg in world.voxel_grids:
+        from curobo_tpu.geom.sdf import sample_voxel_grid
+
+        pts = jnp.stack([sx, sy, sz], axis=-1)  # (S, ..., 3)
+        xl = jnp.einsum("ji,...j->...i", vg.rot, pts - vg.pos)
+        d = sample_voxel_grid(vg.data, xl, vg.origin, vg.cell_size, 10.0)
+        min_sdf = jnp.minimum(min_sdf, jnp.where(vg.enabled > 0, d, BIG))
+
+    return min_sdf
+
+
+def self_collision_blast(params: KinematicsParams, sx, sy, sz, activation: float):
+    """(summed activated violation (,...), max violation (,...))."""
+    sc = params.self_collision
+    pa = np.asarray(sc.pair_a)
+    pb = np.asarray(sc.pair_b)
+    margin_shape = (len(pa),) + (1,) * (sx.ndim - 1)
+    margin = sc.pair_margin.reshape(margin_shape)
+    dxp = sx[pa] - sx[pb]
+    dyp = sy[pa] - sy[pb]
+    dzp = sz[pa] - sz[pb]
+    dist = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp + 1e-12)
+    sviol = jnp.maximum(margin + activation - dist, 0.0)
+    self_d = jnp.max(jnp.maximum(margin - dist, 0.0), axis=0)
+    return jnp.sum(sviol, axis=0), self_d
+
+
 @dataclasses.dataclass
 class BlastRollout:
     """Drop-in fast path for single-config (IK) objectives.
@@ -354,104 +451,192 @@ class BlastRollout:
         live_mask = jnp.asarray((radii >= 0).astype(np.float32))[:, None]
         radii_col = jnp.asarray(radii)[:, None]
 
-        # min sdf per sphere across obstacles, computed per type
-        min_sdf = jnp.full((S,) + sx.shape[1:], BIG, sx.dtype)
-
-        cb = world.cuboids
-        for k in range(len(cb.names)):
-            R = cb.rot[k]
-            pos = cb.pos[k]
-            half = cb.half_dims[k]
-            en = cb.enabled[k]
-            lx = R[0, 0] * (sx - pos[0]) + R[1, 0] * (sy - pos[1]) + R[2, 0] * (sz - pos[2])
-            ly = R[0, 1] * (sx - pos[0]) + R[1, 1] * (sy - pos[1]) + R[2, 1] * (sz - pos[2])
-            lz = R[0, 2] * (sx - pos[0]) + R[1, 2] * (sy - pos[1]) + R[2, 2] * (sz - pos[2])
-            qx = jnp.abs(lx) - half[0]
-            qy = jnp.abs(ly) - half[1]
-            qz = jnp.abs(lz) - half[2]
-            qxp = jnp.maximum(qx, 0.0)
-            qyp = jnp.maximum(qy, 0.0)
-            qzp = jnp.maximum(qz, 0.0)
-            outside = jnp.sqrt(qxp * qxp + qyp * qyp + qzp * qzp + 1e-12)
-            inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
-            d = outside + inside
-            d = jnp.where(en > 0, d, BIG)
-            min_sdf = jnp.minimum(min_sdf, d)
-
-        sp = world.spheres
-        for k in range(len(sp.names)):
-            c = sp.center[k]
-            d = (
-                jnp.sqrt(
-                    (sx - c[0]) ** 2 + (sy - c[1]) ** 2 + (sz - c[2]) ** 2 + 1e-12
-                )
-                - sp.radius[k]
-            )
-            min_sdf = jnp.minimum(min_sdf, jnp.where(sp.enabled[k] > 0, d, BIG))
-
-        cp = world.capsules
-        for k in range(len(cp.names)):
-            R, pos = cp.rot[k], cp.pos[k]
-            a = R @ cp.base[k] + pos
-            b = R @ cp.tip[k] + pos
-            bax, bay, baz = b[0] - a[0], b[1] - a[1], b[2] - a[2]
-            denom = jnp.maximum(bax * bax + bay * bay + baz * baz, 1e-12)
-            pax, pay, paz = sx - a[0], sy - a[1], sz - a[2]
-            h = jnp.clip((pax * bax + pay * bay + paz * baz) / denom, 0.0, 1.0)
-            d = (
-                jnp.sqrt(
-                    (pax - bax * h) ** 2 + (pay - bay * h) ** 2 + (paz - baz * h) ** 2
-                    + 1e-12
-                )
-                - cp.radius[k]
-            )
-            min_sdf = jnp.minimum(min_sdf, jnp.where(cp.enabled[k] > 0, d, BIG))
-
-        cy = world.cylinders
-        for k in range(len(cy.names)):
-            R, pos = cy.rot[k], cy.pos[k]
-            lx = R[0, 0] * (sx - pos[0]) + R[1, 0] * (sy - pos[1]) + R[2, 0] * (sz - pos[2])
-            ly = R[0, 1] * (sx - pos[0]) + R[1, 1] * (sy - pos[1]) + R[2, 1] * (sz - pos[2])
-            lz = R[0, 2] * (sx - pos[0]) + R[1, 2] * (sy - pos[1]) + R[2, 2] * (sz - pos[2])
-            dr = jnp.sqrt(lx * lx + ly * ly + 1e-12) - cy.radius[k]
-            dz = jnp.abs(lz) - cy.half_height[k]
-            drp = jnp.maximum(dr, 0.0)
-            dzp = jnp.maximum(dz, 0.0)
-            d = jnp.sqrt(drp * drp + dzp * dzp + 1e-12) + jnp.minimum(
-                jnp.maximum(dr, dz), 0.0
-            )
-            min_sdf = jnp.minimum(min_sdf, jnp.where(cy.enabled[k] > 0, d, BIG))
-
-        for vg in world.voxel_grids:
-            # gather-based: reshape to points (S*N, 3)
-            pts = jnp.stack([sx, sy, sz], axis=-1)  # (S, N, 3)
-            xl = jnp.einsum("ji,...j->...i", vg.rot, pts - vg.pos)
-            from curobo_tpu.geom.sdf import sample_voxel_grid
-
-            d = sample_voxel_grid(vg.data, xl, vg.origin, vg.cell_size, 10.0)
-            min_sdf = jnp.minimum(min_sdf, jnp.where(vg.enabled > 0, d, BIG))
-
+        min_sdf = scene_min_sdf_blast(world, sx, sy, sz)
         clearance = min_sdf - radii_col
         pen = jnp.maximum(0.0, act - clearance) * live_mask
         cost = cost + cfg.collision_cost.weight * jnp.sum(pen, axis=0)
         in_collision = jnp.any((clearance < -collision_eps) & (live_mask > 0), axis=0)
 
         # ---- self collision -------------------------------------------
-        sc = p.self_collision
-        pa = np.asarray(sc.pair_a)
-        pb = np.asarray(sc.pair_b)
-        margin = sc.pair_margin[:, None]
-        dxp = sx[pa] - sx[pb]
-        dyp = sy[pa] - sy[pb]
-        dzp = sz[pa] - sz[pb]
-        dist = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp + 1e-12)
-        sviol = jnp.maximum(
-            margin + cfg.self_collision_cost.activation_distance - dist, 0.0
+        sc_sum, self_d = self_collision_blast(
+            p, sx, sy, sz, cfg.self_collision_cost.activation_distance
         )
-        cost = cost + cfg.self_collision_cost.weight * jnp.sum(sviol, axis=0)
-        self_d = jnp.max(jnp.maximum(margin - dist, 0.0), axis=0)
+        cost = cost + cfg.self_collision_cost.weight * sc_sum
         self_colliding = self_d > collision_eps
 
+        feasible = ~(in_collision | self_colliding | oob)
+
+        def unflat(a):
+            return a.reshape(lead) if a is not None else None
+
+        return RolloutResult(
+            cost=unflat(cost),
+            pos_err=unflat(pos_err),
+            rot_err=unflat(rot_err),
+            cspace_err=unflat(cspace_err) if cspace_err is not None else None,
+            feasible=unflat(feasible),
+            in_collision=unflat(in_collision),
+            self_colliding=unflat(self_colliding),
+            out_of_bounds=unflat(oob),
+        )
+
+    # ------------------------------------------------------------------
+    def evaluate_trajectory(
+        self,
+        world: world_mod.WorldData,
+        goal: Goal,
+        traj,  # JointState, arrays (..., H, D)
+        collision_eps: float = 0.0,
+    ) -> RolloutResult:
+        """B-last trajectory objective: FK/collision/self-collision over the
+        flattened (problems x horizon) lane axis; swept collision via a
+        horizon reshape; state costs on the original layout (cheap).
+
+        Semantics match RobotRollout.evaluate_trajectory for single-tool,
+        single-goal problems (consistency-tested).
+        """
+        p, cfg = self.params, self.cfg
+        q = traj.position
+        lead = q.shape[:-2]  # problem dims
+        H = q.shape[-2]
+        D = q.shape[-1]
+        NP = int(np.prod(lead)) if lead else 1
+        N = NP * H
+        qT = jnp.moveaxis(q.reshape((N, D)), -1, 0)  # (D, N)
+
+        Rg, pg, sx, sy, sz = fk_blast(p, qT)
+        S = p.n_spheres
+
+        # ---- terminal pose cost (+ metrics) ---------------------------
+        gp = goal.goal_pos[..., 0, 0, :]
+        gq = goal.goal_quat[..., 0, 0, :]
+        gp = jnp.broadcast_to(gp, lead + (3,)).reshape(NP, 3)
+        gq = jnp.broadcast_to(gq, lead + (4,)).reshape(NP, 4)
+
+        ti = p.tool_frame_idx[0]
+        # tool pose only needed per problem at selected steps; compute on
+        # the full lane axis (cheap) and reshape (NP, H)
+        tx, ty, tz = (c.reshape(NP, H) for c in pg[ti])
+        dx = gp[:, 0:1] - tx
+        dy = gp[:, 1:2] - ty
+        dz = gp[:, 2:3] - tz
+        pos_err2_all = dx * dx + dy * dy + dz * dz  # (NP, H)
+
+        tw, tx_, ty_, tz_ = (c.reshape(NP, H) for c in _rot_to_quat_blast(Rg[ti]))
+        gqw, gqx, gqy, gqz = gq[:, 0:1], gq[:, 1:2], gq[:, 2:3], gq[:, 3:4]
+        rw = gqw * tw + gqx * tx_ + gqy * ty_ + gqz * tz_
+        rx = gqw * tx_ - gqx * tw - gqy * tz_ + gqz * ty_
+        ry = gqw * ty_ + gqx * tz_ - gqy * tw - gqz * tx_
+        rz = gqw * tz_ - gqx * ty_ + gqy * tx_ - gqz * tw
+        sgn = jnp.where(rw < 0, -1.0, 1.0)
+        rw, rx, ry, rz = rw * sgn, rx * sgn, ry * sgn, rz * sgn
+        s2 = rx * rx + ry * ry + rz * rz
+        small = s2 < 1e-12
+        s_ = jnp.sqrt(jnp.where(small, 1.0, s2))
+        angle = 2.0 * jnp.arctan2(s_, rw)
+        scale = jnp.where(small, 2.0, angle / s_)
+        rot_err2_all = s2 * scale * scale
+
+        pose_c_all = (
+            cfg.pose_cost.position_weight * pos_err2_all
+            + cfg.pose_cost.rotation_weight * rot_err2_all
+        )
+        cost = pose_c_all[:, -1]
+        if cfg.pose_run_weight > 0.0:
+            cost = cost + cfg.pose_run_weight * jnp.mean(pose_c_all[:, :-1], axis=-1)
+        pos_err = jnp.sqrt(jnp.maximum(pos_err2_all[:, -1], 1e-16))
+        rot_err = jnp.sqrt(jnp.maximum(rot_err2_all[:, -1], 1e-16))
+
+        cspace_err = None
+        if goal.goal_cspace is not None:
+            gcs = jnp.broadcast_to(goal.goal_cspace, lead + (D,)).reshape(NP, D)
+            dcs = (q.reshape(NP, H, D)[:, -1] - gcs) * p.cspace_weight
+            e2 = jnp.sum(dcs * dcs, axis=-1)
+            cost = cost + cfg.cspace_cost.weight * e2
+            cspace_err = jnp.sqrt(jnp.maximum(e2, 1e-16))
+
+        # ---- bounds + smoothness (original layout: cheap ops) ---------
+        from curobo_tpu.cost import terms as terms_mod
+
+        bc = terms_mod.bound_cost(
+            q, p.joint_limits, cfg.bound_cost,
+            velocity=traj.velocity, acceleration=traj.acceleration, jerk=traj.jerk,
+        )
+        cost = cost + jnp.sum(bc, axis=-1).reshape(NP)
+        if cfg.velocity_weight > 0.0 and traj.velocity is not None:
+            cost = cost + cfg.velocity_weight * jnp.mean(
+                jnp.sum(traj.velocity**2, axis=-1), axis=-1
+            ).reshape(NP)
+        if cfg.acceleration_weight > 0.0 and traj.acceleration is not None:
+            cost = cost + cfg.acceleration_weight * jnp.mean(
+                jnp.sum(traj.acceleration**2, axis=-1), axis=-1
+            ).reshape(NP)
+        if cfg.jerk_weight > 0.0 and traj.jerk is not None:
+            cost = cost + cfg.jerk_weight * jnp.mean(
+                jnp.sum(traj.jerk**2, axis=-1), axis=-1
+            ).reshape(NP)
+
+        # ---- scene collision (discrete or swept) ----------------------
+        radii = np.asarray(p.sphere_radii)
+        act = cfg.collision_cost.activation_distance
+        live_np = (radii >= 0).astype(np.float32)
+        radii_r = jnp.asarray(radii)[:, None, None]
+        live_r = jnp.asarray(live_np)[:, None, None]
+
+        if cfg.use_swept_collision and cfg.collision_cost.sweep_steps > 1:
+            K = cfg.collision_cost.sweep_steps
+            # substep sphere centers between h-1 and h on the (S, NP, H) view
+            sxh = sx.reshape(S, NP, H)
+            syh = sy.reshape(S, NP, H)
+            szh = sz.reshape(S, NP, H)
+            prev = lambda a: jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+            pen_acc = 0.0
+            for k in range(1, K + 1):
+                alpha = k / K
+                ix = prev(sxh) * (1 - alpha) + sxh * alpha
+                iy = prev(syh) * (1 - alpha) + syh * alpha
+                iz = prev(szh) * (1 - alpha) + szh * alpha
+                msdf = scene_min_sdf_blast(world, ix, iy, iz)  # (S, NP, H)
+                pen = jnp.maximum(0.0, act + radii_r - msdf) * live_r
+                pen_acc = pen_acc + pen
+            pen_mean = pen_acc / K
+            if cfg.collision_cost.speed_metric:
+                speed = jnp.sqrt(
+                    (sxh - prev(sxh)) ** 2 + (syh - prev(syh)) ** 2 + (szh - prev(szh)) ** 2
+                    + 1e-12
+                )
+                pen_mean = pen_mean * (speed + 1e-3)
+            cost = cost + cfg.collision_cost.weight * jnp.sum(pen_mean, axis=(0, 2))
+            # feasibility from the endpoint clearances
+            msdf_end = scene_min_sdf_blast(world, sxh, syh, szh)
+            clearance = msdf_end - radii_r
+            in_collision = jnp.any(
+                (clearance < -collision_eps) & (live_r > 0), axis=(0, 2)
+            )
+        else:
+            msdf = scene_min_sdf_blast(world, sx.reshape(S, NP, H),
+                                       sy.reshape(S, NP, H), sz.reshape(S, NP, H))
+            clearance = msdf - radii_r
+            pen = jnp.maximum(0.0, act - clearance) * live_r
+            cost = cost + cfg.collision_cost.weight * jnp.sum(pen, axis=(0, 2))
+            in_collision = jnp.any(
+                (clearance < -collision_eps) & (live_r > 0), axis=(0, 2)
+            )
+
+        # ---- self collision ------------------------------------------
+        sc_sum, self_d = self_collision_blast(
+            p, sx, sy, sz, cfg.self_collision_cost.activation_distance
+        )  # (N,), (N,)
+        cost = cost + cfg.self_collision_cost.weight * jnp.sum(
+            sc_sum.reshape(NP, H), axis=-1
+        )
+        self_colliding = jnp.any(self_d.reshape(NP, H) > collision_eps, axis=-1)
+
+        # bounds feasibility
+        lim = p.joint_limits
+        oob = jnp.any(
+            jnp.any((q < lim.lower - 1e-4) | (q > lim.upper + 1e-4), axis=-1), axis=-1
+        ).reshape(NP)
         feasible = ~(in_collision | self_colliding | oob)
 
         def unflat(a):

@@ -92,6 +92,9 @@ class MPCSolver:
         self.params = params
         self.cfg = cfg
         self.rollout = RobotRollout(params, cfg.rollout)
+        from curobo_tpu.ops.blast import BlastRollout
+
+        self._blast = BlastRollout(params, cfg.rollout)
         self.transition = BSplineTransition(cfg.bspline)
         # STOMP-style smooth noise over the knot axis: random particles stay
         # low-acceleration, so exploration isn't killed by bound costs.
@@ -128,10 +131,19 @@ class MPCSolver:
         a = cfg.state_filter_alpha
         q0 = a * q_measured + (1.0 - a) * state.q_filtered
 
+        from curobo_tpu.ops.blast import BlastRollout
+
+        rollout = (
+            self._blast
+            if BlastRollout.supports(p, goal)
+            and cfg.rollout.torque_limit_weight == 0.0
+            else self.rollout
+        )
+
         def cost(x):  # (..., B, n_free*D)
             knots = x.reshape(x.shape[:-1] + (cfg.bspline.n_free, D))
             traj = self.transition.rollout(knots, q0, dt)
-            return self.rollout.evaluate_trajectory(world, goal, traj).cost
+            return rollout.evaluate_trajectory(world, goal, traj).cost
 
         n_free = cfg.bspline.n_free
 
@@ -148,7 +160,7 @@ class MPCSolver:
             x, _ = lbfgs_optimize(cost, x, cfg.lbfgs)
         knots = x.reshape(B, cfg.bspline.n_free, D)
         traj = self.transition.rollout(knots, q0, dt, joint_names=p.joint_names)
-        res = self.rollout.evaluate_trajectory(world, goal, traj)
+        res = rollout.evaluate_trajectory(world, goal, traj)
 
         # safe deceleration fallback for infeasible plans: exponential
         # velocity bleed-off from the measured state.

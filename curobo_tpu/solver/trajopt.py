@@ -99,8 +99,22 @@ class TrajOptSolver:
         self.params = params
         self.cfg = cfg
         self.rollout = RobotRollout(params, cfg.rollout)
+        from curobo_tpu.ops.blast import BlastRollout
+
+        self._blast = BlastRollout(params, cfg.rollout)
         self.transition = BSplineTransition(cfg.bspline)
         self._solve_jit = jax.jit(self._solve_seeds)
+
+    def _traj_rollout(self, goal: Goal):
+        """Pick the B-last fast path when the problem shape supports it."""
+        from curobo_tpu.ops.blast import BlastRollout
+
+        if (
+            BlastRollout.supports(self.params, goal)
+            and self.cfg.rollout.torque_limit_weight == 0.0
+        ):
+            return self._blast
+        return self.rollout
 
     # ------------------------------------------------------------------
     def estimate_dt(self, q_start: jnp.ndarray, q_end: jnp.ndarray) -> jnp.ndarray:
@@ -143,6 +157,7 @@ class TrajOptSolver:
         B, S, n_free, D = free0.shape
         goal_s = goal.tile_seeds(S)
         qs = jnp.broadcast_to(q_start[:, None], (B, S, D))
+        rollout = self._traj_rollout(goal)
 
         def traj_of(x):
             # x: (..., B, S, n_free * D) with optional leading axes
@@ -151,7 +166,7 @@ class TrajOptSolver:
 
         def cost(x):
             traj = traj_of(x)
-            return self.rollout.evaluate_trajectory(world, goal_s, traj).cost
+            return rollout.evaluate_trajectory(world, goal_s, traj).cost
 
         x = free0.reshape(B, S, n_free * D)
         if cfg.use_particle_stage:
@@ -159,7 +174,7 @@ class TrajOptSolver:
         x, _ = lbfgs_optimize(cost, x, cfg.lbfgs)
 
         traj = traj_of(x)
-        res = self.rollout.evaluate_trajectory(world, goal_s, traj)
+        res = rollout.evaluate_trajectory(world, goal_s, traj)
         conv = res.converged(cfg.position_threshold, cfg.rotation_threshold)
         dt_ret = self._retime_dt(traj, dt)
         return _SeedSolveOut(
@@ -273,7 +288,7 @@ class TrajOptSolver:
             joint_names=self.params.joint_names,
         )
         # final feasibility at the retimed dt
-        res = self.rollout.evaluate_trajectory(world, goal, traj)
+        res = self._traj_rollout(goal).evaluate_trajectory(world, goal, traj)
         conv = res.converged(cfg.position_threshold, cfg.rotation_threshold)
         return TrajOptResult(
             trajectory=traj,

@@ -132,3 +132,66 @@ class TestBlastRollout:
         r1 = gen.evaluate_config(world, goal, q)
         r2 = blast.evaluate_config(world, goal, q)
         np.testing.assert_allclose(np.asarray(r2.cost), np.asarray(r1.cost), rtol=2e-4, atol=2e-3)
+
+
+class TestBlastTrajectory:
+    def make(self, kin, world):
+        import dataclasses
+
+        from curobo_tpu.cost import terms
+        from curobo_tpu.types.state import JointState
+
+        p = kin.params
+        cfg = RobotRolloutConfig(
+            bound_cost=terms.BoundCostConfig(
+                weight=5000.0, velocity_weight=50.0, acceleration_weight=5.0, jerk_weight=0.05
+            ),
+            collision_cost=terms.CollisionCostConfig(weight=500.0, sweep_steps=4),
+            velocity_weight=0.5,
+            acceleration_weight=0.05,
+            jerk_weight=0.005,
+            use_swept_collision=True,
+            pose_run_weight=0.3,
+        )
+        rng = np.random.RandomState(5)
+        B, S, H = 3, 2, 8
+        base = jnp.asarray(rng.uniform(-1.0, 1.0, (B, S, 1, p.n_dof)), dtype=jnp.float32)
+        drift = jnp.asarray(np.linspace(0, 0.4, H)[None, None, :, None], dtype=jnp.float32)
+        q = base + drift * jnp.asarray(rng.uniform(-1, 1, (B, S, 1, p.n_dof)), dtype=jnp.float32)
+        traj = JointState(
+            position=q,
+            velocity=jnp.gradient(q, axis=-2),
+            acceleration=jnp.asarray(rng.normal(0, 0.5, q.shape), dtype=jnp.float32),
+            jerk=jnp.asarray(rng.normal(0, 2.0, q.shape), dtype=jnp.float32),
+        )
+        qg = jnp.asarray(rng.uniform(-1.0, 1.0, (B, p.n_dof)), dtype=jnp.float32)
+        st = compute_kinematics(p, qg)
+        goal = Goal.from_pose(
+            Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
+        ).tile_seeds(S)
+        return RobotRollout(p, cfg), BlastRollout(p, cfg), goal, traj
+
+    def test_trajectory_cost_matches(self, kin, world):
+        if kin.params.n_tools != 1:
+            pytest.skip("multi-tool robot")
+        gen, blast, goal, traj = self.make(kin, world)
+        r1 = gen.evaluate_trajectory(world, goal, traj)
+        r2 = blast.evaluate_trajectory(world, goal, traj)
+        np.testing.assert_allclose(np.asarray(r2.cost), np.asarray(r1.cost), rtol=3e-4, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(r2.pos_err), np.asarray(r1.pos_err), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(r2.feasible), np.asarray(r1.feasible))
+
+    def test_trajectory_grad_matches(self, kin, world):
+        if kin.params.n_tools != 1:
+            pytest.skip("multi-tool robot")
+        import dataclasses
+
+        gen, blast, goal, traj = self.make(kin, world)
+
+        def loss(fn, q):
+            t = dataclasses.replace(traj, position=q)
+            return jnp.sum(fn(world, goal, t).cost)
+
+        g1 = jax.grad(lambda q: loss(gen.evaluate_trajectory, q))(traj.position)
+        g2 = jax.grad(lambda q: loss(blast.evaluate_trajectory, q))(traj.position)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-3, atol=1e-2)
