@@ -9,7 +9,7 @@ queries, batched sample/validate) and `AttachmentManager`
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

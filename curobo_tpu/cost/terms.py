@@ -16,11 +16,10 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from curobo_tpu.geom import world as world_mod
-from curobo_tpu.geom.self_collision import self_collision_cost, self_collision_distance
+from curobo_tpu.geom.self_collision import self_collision_cost
 from curobo_tpu.math import quaternion as qm
 from curobo_tpu.robot.params import JointLimits, SelfCollisionParams
 

@@ -9,7 +9,7 @@ fixed-shape device pytree used by collision queries.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

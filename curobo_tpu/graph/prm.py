@@ -15,7 +15,6 @@ for this, `NetworkXPathFinder`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

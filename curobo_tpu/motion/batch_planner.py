@@ -9,7 +9,6 @@ bucket reuses the same compiled solve regardless of the requested batch.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional
 
 import jax

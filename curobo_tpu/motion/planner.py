@@ -11,11 +11,10 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from curobo_tpu.geom import world as world_mod
 from curobo_tpu.solver.ik import IKConfig, IKSolver

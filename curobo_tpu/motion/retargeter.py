@@ -8,14 +8,11 @@ local-IK and MPC modes, per-tool weighted `ToolPoseCriteria`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from curobo_tpu.cost import terms
-from curobo_tpu.geom import world as world_mod
 from curobo_tpu.opt.lbfgs import LBFGSConfig, lbfgs_optimize
 from curobo_tpu.robot import kinematics as kin_mod
 from curobo_tpu.robot.params import KinematicsParams

@@ -21,11 +21,9 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from curobo_tpu.cost import terms
 from curobo_tpu.geom import world as world_mod
 from curobo_tpu.robot.params import (
     JOINT_PRISMATIC,

@@ -7,7 +7,7 @@ cfg flags (iteration traces for tuning / paper plots).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp

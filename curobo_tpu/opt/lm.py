@@ -10,11 +10,10 @@ the main IK optimizer.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from curobo_tpu.math import quaternion as qm
 from curobo_tpu.robot import kinematics as kin_mod

@@ -21,7 +21,7 @@ LiDAR integration rasterizes world points into voxel hits with scatter-min
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,6 @@ import numpy as np
 
 from curobo_tpu.geom.types import VoxelGridObstacle
 from curobo_tpu.perception.types import CameraObservation, LidarObservation
-from curobo_tpu.types.pose import Pose
 
 
 @dataclasses.dataclass(frozen=True)

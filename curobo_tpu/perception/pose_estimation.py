@@ -11,11 +11,10 @@ pose_detector.py:27`, sampling-based) and `SDFPoseDetector`
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from curobo_tpu.geom import types as gt
 from curobo_tpu.geom.mesh import mesh_to_sdf_grid

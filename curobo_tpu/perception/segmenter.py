@@ -9,7 +9,6 @@ distance-to-robot-spheres mask) and `FilterDepth`
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,14 +14,10 @@ propagation, per-link inertial forces, tip->base force accumulation.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
-from curobo_tpu.math import quaternion as qm
 from curobo_tpu.robot.params import (
     JOINT_PRISMATIC,
     JOINT_REVOLUTE,

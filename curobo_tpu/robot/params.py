@@ -10,7 +10,7 @@ FK composition loop unrolls at trace time into level-batched einsums.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

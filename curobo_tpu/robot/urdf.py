@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import os
 import xml.etree.ElementTree as ET
 from typing import Dict, List, Optional, Tuple
 

@@ -13,7 +13,7 @@ horizon axis before dof: (..., H, D).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

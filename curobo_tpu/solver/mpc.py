@@ -11,11 +11,10 @@ host does only state upload / command download per tick.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from curobo_tpu.cost import terms
 from curobo_tpu.geom import world as world_mod

@@ -20,7 +20,6 @@ import dataclasses
 import functools
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.interpolate import BSpline as ScipyBSpline

@@ -8,7 +8,6 @@ implemented as an immutable JAX pytree dataclass so it flows through `jit`,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

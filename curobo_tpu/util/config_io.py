@@ -6,7 +6,6 @@ Parity: reference `curobo/_src/util/config_io.py` (load/write/merge).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import yaml
 

@@ -8,7 +8,7 @@ field names (success, time percentiles, motion time, jerk, position error).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

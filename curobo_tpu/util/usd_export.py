@@ -9,7 +9,6 @@ the trajectory with time samples.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
 
 import numpy as np
 

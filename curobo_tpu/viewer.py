@@ -7,7 +7,6 @@ the always-available backend is the dependency-free USD(A) exporter
 
 from __future__ import annotations
 
-from typing import Optional
 
 
 def export_usd(path, scene, params, trajectory, fps: float = 30.0) -> None:
