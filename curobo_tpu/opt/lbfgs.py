@@ -82,6 +82,7 @@ def _line_search(
     c0: jnp.ndarray,  # (...,)
     g0: jnp.ndarray,  # (..., D)
     ls: LineSearchConfig,
+    project=None,
 ):
     """Parallel multi-candidate Wolfe search.
 
@@ -96,6 +97,10 @@ def _line_search(
     # constants inside cost_fn broadcast untouched.
     scales = jnp.asarray(ls.scales, dtype=x.dtype).reshape((L,) + (1,) * nb)
     cand = x[None] + scales[..., None] * d[None]  # (L, ..., D)
+    if project is not None:
+        # project candidates BEFORE evaluation so cost/grad (and the (s, y)
+        # history built from them) describe the point actually returned
+        cand = project(cand)
     c, g = cost_grad_fn(cand)  # (L, ...), (L, ..., D)
 
     slope0 = jnp.sum(g0 * d, axis=-1)  # (...,) should be negative
@@ -186,8 +191,13 @@ def lbfgs_optimize(
         dn = jnp.max(jnp.abs(d), axis=-1, keepdims=True)
         d = d * jnp.minimum(1.0, cfg.max_step / jnp.maximum(dn, cfg.epsilon))
 
+        # Candidates are NOT projected: the objectives carry their own
+        # bound penalties, and exploring through the penalty region lets
+        # iterates cross into better basins (projected candidates stall on
+        # the boundary — measurably worse on collision-IK). Consistency of
+        # cost/point/history is restored by the single projection +
+        # re-evaluation after the loop.
         x_new, c_new, g_new = _line_search(cg, x, d, c, g, cfg.line_search)
-        x_new = project(x_new)
 
         s = x_new - x
         y = g_new - g
@@ -209,4 +219,9 @@ def lbfgs_optimize(
     carry = (x, c, g, S, Y, rho, valid, best_x, best_c)
     carry = jax.lax.fori_loop(0, cfg.n_iters, body, carry)
     _, _, _, _, _, _, _, best_x, best_c = carry
+    if lower is not None:
+        # one consistent projection: the returned cost is the cost OF the
+        # returned (feasible) point
+        best_x = project(best_x)
+        best_c, _ = cg(best_x)
     return best_x, best_c

@@ -57,3 +57,29 @@ def gaussian_halton_bank(
 
 def random_gaussian(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype=dtype)
+
+
+def roberts_sequence(n: int, dim: int, skip: int = 0) -> np.ndarray:
+    """(n, dim) Roberts R_d quasi-random points in (0, 1).
+
+    Parity: reference Roberts sequencer
+    (`curobo/_src/util/sampling/sequencer_roberts.py`). The additive
+    recurrence x_i = frac(i * alpha) with alpha_j = 1/phi_d^(j+1), phi_d the
+    unique positive root of x^(d+1) = x + 1 — better-distributed than
+    Halton in high dimensions.
+    """
+    # fixed-point iteration for the generalized golden ratio phi_d
+    phi = 2.0
+    for _ in range(64):
+        phi = (1.0 + phi) ** (1.0 / (dim + 1.0))
+    alpha = (1.0 / phi) ** (np.arange(1, dim + 1, dtype=np.float64))
+    i = np.arange(skip + 1, skip + n + 1, dtype=np.float64)[:, None]
+    return np.mod(0.5 + i * alpha[None, :], 1.0)
+
+
+def roberts_gaussian(n: int, dim: int, skip: int = 0) -> np.ndarray:
+    """(n, dim) standard-normal quasi-random samples (inverse-CDF Roberts)."""
+    u = np.clip(roberts_sequence(n, dim, skip), 1e-6, 1 - 1e-6)
+    from scipy.special import erfinv
+
+    return np.sqrt(2.0) * erfinv(2.0 * u - 1.0)

@@ -5,6 +5,7 @@ mirroring the reference's `RosenbrockRollout` test pattern,
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from curobo_tpu.opt.lbfgs import LBFGSConfig, LineSearchConfig, lbfgs_optimize
 from curobo_tpu.opt.mppi import MPPIConfig, mppi_optimize
@@ -109,3 +110,92 @@ class TestLBFGS:
         solve = jax.jit(lambda x0: lbfgs_optimize(f, x0, LBFGSConfig(n_iters=10)))
         x, c = solve(jnp.zeros((4, 3)))
         assert float(jnp.max(c)) < 1e-5
+
+
+class TestOptimizerRegistry:
+    """Reference registry parity (`optim_factory.py:37-61`): every entry
+    minimizes a batched Rosenbrock from the same starts."""
+
+    def _problem(self):
+        def rosen(x):  # (..., D) -> (...)
+            a = x[..., 1:] - x[..., :-1] ** 2
+            b = 1.0 - x[..., :-1]
+            return jnp.sum(100.0 * a * a + b * b, axis=-1)
+
+        rng = np.random.RandomState(0)
+        x0 = jnp.asarray(rng.uniform(-1.0, 1.0, (6, 4)), jnp.float32)
+        return rosen, x0
+
+    @pytest.mark.parametrize(
+        "name", ["lbfgs", "gradient_descent", "conjugate_gradient", "lsr1",
+                 "mppi", "es"]
+    )
+    def test_all_decrease(self, name):
+        from curobo_tpu.opt import factory
+
+        rosen, x0 = self._problem()
+        c0 = rosen(x0)
+        cfg = factory.make_config(name)
+        xb, cb = jax.jit(
+            lambda x: factory.optimize(name, rosen, x, cfg,
+                                       key=jax.random.PRNGKey(1))
+        )(x0)
+        assert xb.shape == x0.shape
+        assert bool(jnp.all(cb <= c0 + 1e-6))
+        # gradient methods should make real progress on rosenbrock
+        if name in ("lbfgs", "conjugate_gradient", "lsr1"):
+            assert bool(jnp.all(cb < 0.25 * c0))
+
+    def test_gradient_methods_near_optimum(self):
+        from curobo_tpu.opt import factory
+        from curobo_tpu.opt.lbfgs import LineSearchConfig
+
+        rosen, x0 = self._problem()
+        for name in ("lbfgs", "conjugate_gradient", "lsr1"):
+            cfg_cls = factory.OPTIMIZERS[name][0]
+            cfg = cfg_cls(
+                n_iters=200,
+                line_search=LineSearchConfig(
+                    scales=(0.01, 0.05, 0.1, 0.3, 0.5, 1.0, 2.0)
+                ),
+            )
+            _, cb = factory.optimize(name, rosen, x0, cfg)
+            # CG is known-slow on the banana valley; quasi-Newton gets there
+            tol = 1.0 if name == "conjugate_gradient" else 1e-2
+            assert float(jnp.median(cb)) < tol, name
+
+    def test_bounds_respected(self):
+        from curobo_tpu.opt import factory
+
+        rosen, x0 = self._problem()
+        lo = jnp.full((4,), -0.5)
+        hi = jnp.full((4,), 0.5)
+        for name in ("gradient_descent", "conjugate_gradient", "lsr1"):
+            xb, _ = factory.optimize(name, rosen, x0, None, lower=lo, upper=hi)
+            assert bool(jnp.all(xb >= lo - 1e-6)) and bool(jnp.all(xb <= hi + 1e-6))
+
+    def test_unknown_name_raises(self):
+        from curobo_tpu.opt import factory
+
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            factory.optimize("adamw", lambda x: x.sum(-1), jnp.zeros((2, 3)))
+
+
+class TestRoberts:
+    def test_low_discrepancy_and_range(self):
+        from curobo_tpu.util.sampling import roberts_sequence
+
+        r = roberts_sequence(2000, 5)
+        assert r.shape == (2000, 5)
+        assert (r > 0).all() and (r < 1).all()
+        # each dim's empirical CDF is near-uniform
+        for d in range(5):
+            h, _ = np.histogram(r[:, d], bins=10, range=(0, 1))
+            assert h.min() > 150 and h.max() < 250
+
+    def test_gaussian_moments(self):
+        from curobo_tpu.util.sampling import roberts_gaussian
+
+        g = roberts_gaussian(4000, 3)
+        np.testing.assert_allclose(g.mean(axis=0), 0.0, atol=0.05)
+        np.testing.assert_allclose(g.std(axis=0), 1.0, atol=0.05)
