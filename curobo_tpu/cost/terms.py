@@ -44,21 +44,32 @@ def pose_error(
     goal_pos: jnp.ndarray,  # (..., G, T, 3) goalset axis G
     goal_quat: jnp.ndarray,  # (..., G, T, 4)
     cfg: PoseCostConfig = PoseCostConfig(),
+    tool_weight: Optional[jnp.ndarray] = None,  # (T, 6) ToolPoseCriteria
+    tool_tolerance: Optional[jnp.ndarray] = None,  # (T, 2)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (cost (...,), pos_err (...,), rot_err (...,)).
 
     Goalset semantics: error against each of G goals, argmin over G of the
     weighted cost (reference `wp_tool_pose.py` goalset argmin). pos_err /
     rot_err are reported for the selected goal, max-ed over tool frames.
+
+    tool_weight / tool_tolerance carry per-tool `ToolPoseCriteria`
+    (reference `cost/tool_pose_criteria.py:18`): 6 axis weight factors
+    scale the error axes in the cost; tolerances are subtracted from the
+    per-tool reported errors so an in-tolerance tool counts as on-goal.
     """
     dp = goal_pos - tool_pos[..., None, :, :]  # (..., G, T, 3)
     if cfg.position_axis_weight is not None:
         dp = dp * jnp.asarray(cfg.position_axis_weight)
+    if tool_weight is not None:
+        dp = dp * tool_weight[..., :, :3]
     pos_err2 = jnp.sum(dp * dp, axis=-1)  # (..., G, T)
 
     rot_vec = qm.quat_error(goal_quat, tool_quat[..., None, :, :])  # (..., G, T, 3)
     if cfg.rotation_axis_weight is not None:
         rot_vec = rot_vec * jnp.asarray(cfg.rotation_axis_weight)
+    if tool_weight is not None:
+        rot_vec = rot_vec * tool_weight[..., :, 3:]
     rot_err2 = jnp.sum(rot_vec * rot_vec, axis=-1)  # (..., G, T)
 
     if cfg.quadratic:
@@ -71,14 +82,17 @@ def pose_error(
 
     best = jnp.argmin(per_goal, axis=-1)  # (...,)
     cost = jnp.min(per_goal, axis=-1)
-    # Metrics for the chosen goal.
-    pos_err = jnp.sqrt(
-        jnp.max(jnp.take_along_axis(pos_err2, best[..., None, None], axis=-2), axis=-1)
-    )[..., 0]
-    rot_err = jnp.sqrt(
-        jnp.max(jnp.take_along_axis(rot_err2, best[..., None, None], axis=-2), axis=-1)
-    )[..., 0]
-    return cost, pos_err, rot_err
+    # Metrics for the chosen goal (per-tool tolerance slack applied).
+    pe_t = jnp.sqrt(
+        jnp.take_along_axis(pos_err2, best[..., None, None], axis=-2)
+    )[..., 0, :]  # (..., T)
+    re_t = jnp.sqrt(
+        jnp.take_along_axis(rot_err2, best[..., None, None], axis=-2)
+    )[..., 0, :]
+    if tool_tolerance is not None:
+        pe_t = jnp.maximum(pe_t - tool_tolerance[..., :, 0], 0.0)
+        re_t = jnp.maximum(re_t - tool_tolerance[..., :, 1], 0.0)
+    return cost, jnp.max(pe_t, axis=-1), jnp.max(re_t, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -128,9 +142,14 @@ def bound_cost(
     jerk: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Quadratic penalty outside (possibly margin-shrunk) limits -> (...)."""
-    rng = limits.upper - limits.lower
-    lo = limits.lower + cfg.margin * rng
-    hi = limits.upper - cfg.margin * rng
+    if cfg.margin != 0.0:
+        # guard unbounded joints: margin * inf would poison the whole cost
+        rng = limits.upper - limits.lower
+        rng = jnp.where(jnp.isfinite(rng), rng, 0.0)
+        lo = limits.lower + cfg.margin * rng
+        hi = limits.upper - cfg.margin * rng
+    else:
+        lo, hi = limits.lower, limits.upper
     viol = jnp.maximum(lo - position, 0.0) + jnp.maximum(position - hi, 0.0)
     c = cfg.weight * jnp.sum(viol * viol, axis=-1)
     if velocity is not None and cfg.velocity_weight > 0:

@@ -136,6 +136,23 @@ def robot_spheres(
     return jnp.concatenate([centers, radii[..., None]], axis=-1)
 
 
+def compute_com(
+    params: KinematicsParams, link_rot: jnp.ndarray, link_pos: jnp.ndarray
+) -> jnp.ndarray:
+    """Whole-robot center of mass in world frame (..., 3).
+
+    Parity: the reference FK kernel's COMPUTE_COM emission
+    (`kinematics_forward_kernel.cuh`, template flag) — here a single
+    mass-weighted einsum over the already-computed link transforms.
+    """
+    com_w = (
+        jnp.einsum("...lij,lj->...li", link_rot, params.link_com) + link_pos
+    )  # (..., L, 3)
+    m = params.link_mass  # (L,)
+    total = jnp.maximum(jnp.sum(m), 1e-9)
+    return jnp.einsum("l,...li->...i", m, com_w) / total
+
+
 def analytic_jacobian(
     params: KinematicsParams,
     link_rot: jnp.ndarray,

@@ -18,6 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from curobo_tpu.cost import support_polygon as sp_mod
 from curobo_tpu.cost import terms
 from curobo_tpu.geom import world as world_mod
 from curobo_tpu.geom.self_collision import self_collision_distance
@@ -40,10 +41,17 @@ class Goal:
     goal_quat: jnp.ndarray
     goal_cspace: Optional[jnp.ndarray] = None  # (B, D)
     current_position: Optional[jnp.ndarray] = None  # (B, D) (MPC / regularization)
+    # per-tool criteria (reference ToolPoseCriteria): axis weight factors
+    # (T, 6) and (pos, rot) convergence slack (T, 2); batch-free constants
+    tool_weight: Optional[jnp.ndarray] = None
+    tool_tolerance: Optional[jnp.ndarray] = None
 
     @staticmethod
-    def from_pose(pose: Pose, n_tools: int = 1) -> "Goal":
-        """Build from a Pose with batch shape (B,), (B, T) or (B, G, T)."""
+    def from_pose(pose: Pose, n_tools: int = 1, criteria=None) -> "Goal":
+        """Build from a Pose with batch shape (B,), (B, T) or (B, G, T).
+
+        criteria: optional sequence of `ToolPoseCriteria` (one per tool
+        frame, reference `cost/tool_pose_criteria.py:18`)."""
         pos, quat = pose.position, pose.quaternion
         if pos.ndim == 2:  # (B, 3) single tool, single goal
             pos = pos[:, None, None, :]
@@ -51,14 +59,20 @@ class Goal:
         elif pos.ndim == 3:  # (B, T, 3)
             pos = pos[:, None, :, :]
             quat = quat[:, None, :, :]
-        return Goal(goal_pos=pos, goal_quat=quat)
+        tw = tt = None
+        if criteria is not None:
+            from curobo_tpu.types.tool_pose import stack_criteria
+
+            tw, tt = stack_criteria(criteria)
+        return Goal(goal_pos=pos, goal_quat=quat, tool_weight=tw, tool_tolerance=tt)
 
     @property
     def batch(self) -> int:
         return self.goal_pos.shape[0]
 
     def tile_seeds(self, n_seeds: int) -> "Goal":
-        """(B, ...) -> (B, S, ...) broadcast over a seed axis."""
+        """(B, ...) -> (B, S, ...) broadcast over a seed axis. Per-tool
+        criteria are batch-free constants and pass through unchanged."""
 
         def tile(a):
             if a is None:
@@ -70,6 +84,8 @@ class Goal:
             goal_quat=tile(self.goal_quat),
             goal_cspace=tile(self.goal_cspace),
             current_position=tile(self.current_position),
+            tool_weight=self.tool_weight,
+            tool_tolerance=self.tool_tolerance,
         )
 
 
@@ -90,6 +106,12 @@ class RobotRolloutConfig:
     acceleration_weight: float = 0.0
     jerk_weight: float = 0.0
     use_swept_collision: bool = True
+    # humanoid balance: CoM-inside-support-polygon penalty (reference
+    # `cost_support_polygon.py:109`). The hull is baked static (tuple of
+    # (x, y) CCW vertices, built once per stance via
+    # `cost.support_polygon.stance_hull`).
+    support_polygon: Optional["sp_mod.SupportPolygonConfig"] = None
+    support_hull: Optional[tuple] = None  # ((x, y), ...) CCW
     # inverse-dynamics torque-limit penalty (reference --use-dynamics mode,
     # `transition/robot_state_transition.py:170` + RNEA)
     torque_limit_weight: float = 0.0
@@ -146,13 +168,16 @@ class RobotRollout:
         collision_eps: float = 0.0,
     ) -> RolloutResult:
         p, cfg = self.params, self.cfg
-        state = kin_mod.compute_kinematics(p, q)
+        with jax.named_scope("rollout.fk"):
+            state = kin_mod.compute_kinematics(p, q)
         pose_c, pos_err, rot_err = terms.pose_error(
             state.tool_pose.position,
             state.tool_pose.quaternion,
             goal.goal_pos,
             goal.goal_quat,
             cfg.pose_cost,
+            tool_weight=goal.tool_weight,
+            tool_tolerance=goal.tool_tolerance,
         )
         cost = pose_c
 
@@ -172,6 +197,12 @@ class RobotRollout:
         cost = cost + terms.self_collision_cost_term(
             p.self_collision, state.spheres, cfg.self_collision_cost
         )
+        if cfg.support_polygon is not None and cfg.support_polygon.weight > 0:
+            com = kin_mod.compute_com(p, state.link_rot, state.link_pos)
+            hull = jnp.asarray(cfg.support_hull, dtype=jnp.float32)
+            cost = cost + sp_mod.support_polygon_cost(
+                com[..., :2], hull, cfg.support_polygon
+            )
 
         # metrics / feasibility (no activation margin)
         live = state.spheres[..., 3] >= 0
@@ -232,7 +263,8 @@ class RobotRollout:
     ) -> RolloutResult:
         p, cfg = self.params, self.cfg
         q = traj.position
-        state = kin_mod.compute_kinematics(p, q)  # (..., H, ...)
+        with jax.named_scope("rollout.fk"):
+            state = kin_mod.compute_kinematics(p, q)  # (..., H, ...)
 
         # terminal pose cost (+ optional run weight on intermediate steps)
         pose_c_all, pos_err_all, rot_err_all = terms.pose_error(
@@ -241,6 +273,8 @@ class RobotRollout:
             goal.goal_pos[..., None, :, :, :],  # broadcast over H
             goal.goal_quat[..., None, :, :, :],
             cfg.pose_cost,
+            tool_weight=goal.tool_weight,
+            tool_tolerance=goal.tool_tolerance,
         )
         cost = pose_c_all[..., -1]
         if cfg.pose_run_weight > 0.0:
@@ -309,6 +343,13 @@ class RobotRollout:
             p.self_collision, state.spheres, cfg.self_collision_cost
         )
         cost = cost + jnp.sum(sc, axis=-1)
+        if cfg.support_polygon is not None and cfg.support_polygon.weight > 0:
+            com = kin_mod.compute_com(p, state.link_rot, state.link_pos)
+            hull = jnp.asarray(cfg.support_hull, dtype=jnp.float32)
+            spc = sp_mod.support_polygon_cost(
+                com[..., :2], hull, cfg.support_polygon
+            )  # (..., H)
+            cost = cost + jnp.sum(spc, axis=-1)
 
         # feasibility over every step
         live = state.spheres[..., 3] >= 0
