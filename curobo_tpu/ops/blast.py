@@ -354,8 +354,16 @@ class BlastRollout:
     cfg: RobotRolloutConfig
 
     @staticmethod
-    def supports(params: KinematicsParams, goal: Goal) -> bool:
-        return params.n_tools == 1 and goal.goal_pos.shape[-3] == 1
+    def supports(params: KinematicsParams, goal: Goal, cfg=None) -> bool:
+        return (
+            params.n_tools == 1
+            and goal.goal_pos.shape[-3] == 1
+            # humanoid balance term lives only in the generic rollout
+            and (cfg is None or cfg.support_polygon is None)
+            # per-tool ToolPoseCriteria live only in the generic rollout
+            and goal.tool_weight is None
+            and goal.tool_tolerance is None
+        )
 
     def evaluate_config(
         self,

@@ -34,11 +34,21 @@ class IKConfig:
     # B-last fused compute path (ops/blast.py) when the problem shape
     # supports it (single tool, single goal) — large TPU speedup.
     use_blast: bool = True
-    # Pallas mega-kernel cost+grad (ops/pallas_ik.py): one fused TPU kernel
-    # for the whole objective. The world is baked into the kernel; solves
-    # with a world whose VALUES changed trigger a rebuild (fingerprinted).
+    # Pallas mega-kernel (ops/pallas_ik.py): the whole solve (MPPI stage +
+    # L-BFGS + metrics) is ONE fused TPU kernel. World values are kernel
+    # inputs; kernels compile once per obstacle-capacity envelope.
     use_pallas: bool = True
     use_particle_stage: bool = True
+    # LM seed-IK warm start: batched Levenberg-Marquardt on the pose-only
+    # residual refines every seed before the optimizer stages (reference
+    # `use_lm_seed`, `seed_ik/seed_ik_solver.py:48,578`) — the main lever
+    # for success rate at low iteration counts.
+    use_lm_seed: bool = False
+    lm_seed_iters: int = 10
+    # Pallas-path analog of the LM warm start: a pose-only (no collision
+    # terms) in-kernel L-BFGS stage before MPPI/L-BFGS — same role at
+    # ~10x lower per-eval cost, and no extra kernel dispatch.
+    warmup_iters: int = 0
     mppi: MPPIConfig = MPPIConfig(n_particles=32, n_iters=8, init_std=0.6)
     lbfgs: LBFGSConfig = LBFGSConfig(history=12, n_iters=40)
     rollout: RobotRolloutConfig = RobotRolloutConfig()
@@ -86,104 +96,81 @@ class IKSolver:
             halton_sequence(max(cfg.n_seeds - 1, 1), params.n_dof),
             dtype=jnp.float32,
         )
+        self._seed_ik = None
+        if cfg.use_lm_seed:
+            from curobo_tpu.opt.lm import LMConfig, SeedIK
+
+            self._seed_ik = SeedIK(params, LMConfig(n_iters=cfg.lm_seed_iters))
         self._solve_jit = jax.jit(self._solve_impl)
-        # pallas path: (world fingerprint -> (PallasIKCost, jitted solve))
-        self._pallas_cache = {}
+        # pallas path: capacity-envelope-keyed kernel cache (`solver/_cache.py`)
+        from curobo_tpu.solver._cache import WorldKeyedCache
+
+        self._pallas_cache = WorldKeyedCache(self._build_pallas_solver)
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def _world_fingerprint(world) -> bytes:
-        import hashlib
+    def _build_pallas_solver(self, world):
+        import functools
 
-        h = hashlib.sha1()
-        for leaf in jax.tree.leaves(world):
-            h.update(np.asarray(leaf).tobytes())
-        return h.digest()
-
-    def _get_pallas_solver(self, world):
         from curobo_tpu.ops.pallas_ik import PallasIKCost
 
-        # Fast path: the same world OBJECT was just used -> skip re-hashing
-        # (hashing pulls every world array to the host).
-        oid = id(world)
-        if getattr(self, "_last_world_oid", None) == oid and self._pallas_cache:
-            return next(iter(self._pallas_cache.values()))
-        self._last_world_oid = oid
-        key = self._world_fingerprint(world)
-        if key not in self._pallas_cache:
-            import functools
+        pik = PallasIKCost(self.params, self.cfg.rollout, world)
+        lb = self.cfg.lbfgs
+        mp = self.cfg.mppi
+        solve_kernel = pik.build_solver(
+            mppi_iters=mp.n_iters if self.cfg.use_particle_stage else 0,
+            n_particles=mp.n_particles,
+            init_std=float(mp.init_std),
+            std_decay=mp.std_decay,
+            min_std=mp.min_std,
+            temperature=mp.temperature,
+            step_size=mp.step_size,
+            lbfgs_iters=lb.n_iters,
+            history=lb.history,
+            max_step=lb.max_step,
+            warmup_iters=self.cfg.warmup_iters,
+        )
+        return jax.jit(
+            functools.partial(self._solve_impl_pallas, solve_kernel=solve_kernel)
+        )
 
-            pik = PallasIKCost(self.params, self.cfg.rollout, world)
-            lb = self.cfg.lbfgs
-            lbfgs_solve = pik.build_lbfgs_solver(
-                n_iters=lb.n_iters, history=lb.history, max_step=lb.max_step
-            )
-            mp = self.cfg.mppi
-            mppi_solve = (
-                pik.build_mppi_solver(
-                    n_iters=mp.n_iters,
-                    n_particles=mp.n_particles,
-                    init_std=float(mp.init_std),
-                    std_decay=mp.std_decay,
-                    min_std=mp.min_std,
-                    temperature=mp.temperature,
-                    step_size=mp.step_size,
-                )
-                if self.cfg.use_particle_stage
-                else None
-            )
-            solve = jax.jit(
-                functools.partial(
-                    self._solve_impl_pallas,
-                    pik=pik,
-                    lbfgs_solve=lbfgs_solve,
-                    mppi_solve=mppi_solve,
-                )
-            )
-            self._pallas_cache = {key: solve}
-        return self._pallas_cache[key]
+    def _get_pallas_solver(self, world):
+        return self._pallas_cache.get(world)
 
     def _solve_impl_pallas(
         self,
-        world: world_mod.WorldData,  # still passed for the metrics pass
+        world: world_mod.WorldData,
         goal: Goal,
         seeds: jnp.ndarray,
         key: jax.Array,
-        pik=None,
-        lbfgs_solve=None,
-        mppi_solve=None,
+        solve_kernel=None,
     ) -> IKResult:
-        """Solve using the fused Pallas kernels: cost-only kernel for the
-        MPPI stage, then the full in-kernel L-BFGS solver (all iterations
-        in ONE dispatch)."""
+        """Solve with the fused Pallas kernel: MPPI stage + in-kernel
+        L-BFGS + metrics, all in ONE dispatch per solve. The world flows
+        in as kernel SMEM inputs — no rebuild on world updates."""
         cfg = self.cfg
-        p = self.params
         B, S, D = seeds.shape
         goal_s = goal.tile_seeds(S)
+        seeds = self._lm_warm_start(goal_s, seeds)
         goal7 = jnp.concatenate(
             [goal_s.goal_pos[..., 0, 0, :], goal_s.goal_quat[..., 0, 0, :]], axis=-1
         )  # (B, S, 7)
 
-        lo = jnp.maximum(p.joint_limits.lower, -2.0 * np.pi)
-        hi = jnp.minimum(p.joint_limits.upper, 2.0 * np.pi)
+        g7 = goal7.reshape(-1, 7)
+        q0 = seeds.reshape(-1, D)
+        seed_scalar = jax.random.randint(key, (), 0, 2**31 - 1)
+        q, c, pe, re, fe = solve_kernel(g7, q0, seed_scalar, world)
+        x = q.reshape(B, S, D)
+        cost = c.reshape(B, S)
+        pos_err = pe.reshape(B, S)
+        rot_err = re.reshape(B, S)
+        feasible = fe.reshape(B, S) > 0.5
 
-        def flat(x):
-            lead = x.shape[:-1]
-            g7 = jnp.broadcast_to(goal7, lead + (7,)).reshape(-1, 7)
-            return g7, x.reshape(-1, D), lead
-
-        x = seeds
-        g7, q, lead = flat(x)
-        if mppi_solve is not None:
-            seed_scalar = jax.random.randint(key, (), 0, 2**31 - 1)
-            q, _ = mppi_solve(g7, q, seed_scalar)
-        q, _ = lbfgs_solve(g7, q)
-        x = q.reshape(lead + (D,))
-
-        # metrics pass on the blast path (exact, includes feasibility flags)
-        res = self._blast.evaluate_config(world, goal_s, x)
-        conv = res.converged(cfg.position_threshold, cfg.rotation_threshold)
-        score = jnp.where(conv, res.cost, BIG + res.pos_err)
+        conv = (
+            (pos_err <= cfg.position_threshold)
+            & (rot_err <= cfg.rotation_threshold)
+            & feasible
+        )
+        score = jnp.where(conv, cost, BIG + pos_err)
         best = jnp.argmin(score, axis=-1)
 
         def take(a):
@@ -194,9 +181,9 @@ class IKSolver:
         return IKResult(
             solution=take(x),
             success=take(conv),
-            position_error=take(res.pos_err),
-            rotation_error=take(res.rot_err),
-            cost=take(res.cost),
+            position_error=take(pos_err),
+            rotation_error=take(rot_err),
+            cost=take(cost),
             seed_solutions=x,
             seed_success=conv,
         )
@@ -220,6 +207,17 @@ class IKSolver:
         return jnp.concatenate([first[:, None], rest], axis=1)
 
     # ------------------------------------------------------------------
+    def _lm_warm_start(self, goal_s: Goal, seeds: jnp.ndarray) -> jnp.ndarray:
+        """Pose-only LM refinement of every seed (inlines into the solve
+        jit). Single-goal single-tool only; other shapes pass through."""
+        if self._seed_ik is None:
+            return seeds
+        gp, gq = goal_s.goal_pos, goal_s.goal_quat
+        if gp.shape[-2] != 1 or gp.shape[-3] != 1:
+            return seeds
+        q, _ = self._seed_ik._solve(seeds, gp[..., 0, 0, :], gq[..., 0, 0, :])
+        return q
+
     def _solve_impl(
         self,
         world: world_mod.WorldData,
@@ -231,12 +229,13 @@ class IKSolver:
         p = self.params
         B, S, D = seeds.shape
         goal_s = goal.tile_seeds(S)  # (B, S, ...)
+        seeds = self._lm_warm_start(goal_s, seeds)
 
         from curobo_tpu.ops.blast import BlastRollout
 
         rollout = (
             self._blast
-            if cfg.use_blast and BlastRollout.supports(p, goal)
+            if cfg.use_blast and BlastRollout.supports(p, goal, cfg.rollout)
             else self.rollout
         )
 
@@ -248,11 +247,14 @@ class IKSolver:
 
         x = seeds
         if cfg.use_particle_stage:
-            x, _ = mppi_optimize(cost, x, key, cfg.mppi, lower=lo, upper=hi)
-        x, _ = lbfgs_optimize(cost, x, cfg.lbfgs, lower=lo, upper=hi)
+            with jax.named_scope("ik.mppi"):
+                x, _ = mppi_optimize(cost, x, key, cfg.mppi, lower=lo, upper=hi)
+        with jax.named_scope("ik.lbfgs"):
+            x, _ = lbfgs_optimize(cost, x, cfg.lbfgs, lower=lo, upper=hi)
 
         # metrics + seed selection
-        res = rollout.evaluate_config(world, goal_s, x)
+        with jax.named_scope("ik.metrics"):
+            res = rollout.evaluate_config(world, goal_s, x)
         conv = res.converged(cfg.position_threshold, cfg.rotation_threshold)
         score = jnp.where(conv, res.cost, BIG + res.pos_err)
         best = jnp.argmin(score, axis=-1)  # (B,)
@@ -291,11 +293,19 @@ class IKSolver:
             key = jax.random.PRNGKey(0)
         if self.cfg.use_pallas:
             from curobo_tpu.ops.blast import BlastRollout
-            from curobo_tpu.ops.pallas_ik import world_is_supported
+            from curobo_tpu.ops.pallas_ik import (
+                rollout_config_is_supported,
+                world_is_supported,
+            )
 
+            # the kernel bakes an isotropic quadratic pose objective; fall
+            # back to blast for axis weights / metric pose cost / cspace
+            # goals so all paths optimize the SAME objective.
             if (
-                BlastRollout.supports(self.params, goal)
+                BlastRollout.supports(self.params, goal, self.cfg.rollout)
                 and world_is_supported(world)
+                and rollout_config_is_supported(self.cfg.rollout)
+                and goal.goal_cspace is None
                 and jax.default_backend() == "tpu"
             ):
                 solve = self._get_pallas_solver(world)
