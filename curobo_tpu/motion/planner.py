@@ -33,6 +33,9 @@ class MotionPlanConfig:
     # `enable_graph_attempt`, `motion_planner.py:233-296`); -1 disables
     enable_graph_attempt: int = 1
     interpolation_dt: float = 0.02
+    # pin the interpolated horizon so repeated plans never retrace on the
+    # data-dependent motion time (True = bound from trajopt max_dt)
+    static_interpolation: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -137,7 +140,9 @@ class MotionPlanner:
             if bool(jnp.all(best.success)):
                 break
 
-        interp = self.trajopt.interpolate(best, q_start, cfg.interpolation_dt)
+        interp = self.trajopt.interpolate(
+            best, q_start, cfg.interpolation_dt, h_out=self._interp_steps()
+        )
         return MotionPlanResult(
             success=best.success,
             trajectory=interp,
@@ -148,6 +153,15 @@ class MotionPlanner:
             ik_success=ik_success,
             plan_time=time.perf_counter() - t0,
         )
+
+    def _interp_steps(self) -> Optional[int]:
+        if not self.cfg.static_interpolation:
+            return None
+        tcfg = self.cfg.trajopt
+        t_max = tcfg.max_dt * (tcfg.bspline.horizon - 1)
+        import numpy as np
+
+        return int(np.ceil(t_max / self.cfg.interpolation_dt)) + 1
 
     # ------------------------------------------------------------------
     def plan_grasp(

@@ -1,5 +1,5 @@
-"""Pallas trajectory mega-kernel: B-spline rollout cost + gradient in ONE
-TPU kernel.
+"""Pallas trajectory mega-kernel: B-spline rollout cost + gradient — and the
+whole trajopt/MPC optimizer loop — inside single TPU kernels.
 
 The trajopt/MPC objective is sum_h f(q_h, qdot_h, ...) with q_h linear in
 the control points (q_h = B0[h] @ ctrl, derivatives via B1..B3 scaled by the
@@ -18,12 +18,21 @@ Swept collision couples steps h-1 and h: the step function takes both
 configs (recomputing FK for q_{h-1} — cheap) and the vjp yields gradients
 for both, accumulated with their respective basis rows.
 
+`build_solver` goes one level further (same recipe as
+`PallasIKCost.build_solver`): the full L-BFGS (and optionally MPPI) loop
+over free knots, the metrics pass, and the dt retiming all run on-core, so
+one trajopt seed-solve round is ONE kernel dispatch.
+
 Replaces on TPU: the reference's B-spline CUDA kernel + swept-sphere Warp
-kernel + their backward passes (`bspline_kernel.cuh`,
-`wp_sweep_collision_kernel.py`) fused with FK and all cost terms.
+kernel + their backward passes + the L-BFGS/line-search CUDA kernels
+(`bspline_kernel.cuh`, `wp_sweep_collision_kernel.py`,
+`lbfgs_step_kernel.cuh`, `line_search_kernel.cuh`) fused with FK and all
+cost terms.
 
 Same support envelope as PallasIKCost: single tool, single goal,
-cuboid/sphere/capsule/cylinder worlds, world baked at build time.
+cuboid/sphere/capsule/cylinder worlds. The world is a runtime SMEM input
+(kernels compile once per obstacle-capacity envelope; see
+`pallas_ik.pack_world_arrays`).
 """
 
 from __future__ import annotations
@@ -44,12 +53,26 @@ from curobo_tpu.rollout.robot_rollout import RobotRolloutConfig
 from curobo_tpu.transition.bspline import BSplineConfig, N_PIN, _basis_matrices
 
 
+def traj_config_is_supported(cfg: RobotRolloutConfig) -> bool:
+    """The trajectory kernel bakes an isotropic quadratic pose objective and
+    has no torque/cspace terms; those configs take the blast path."""
+    pc = cfg.pose_cost
+    return (
+        pc.position_axis_weight is None
+        and pc.rotation_axis_weight is None
+        and pc.quadratic
+        and cfg.torque_limit_weight == 0.0
+        and cfg.support_polygon is None
+    )
+
+
 @dataclasses.dataclass
 class PallasTrajCost:
-    """Build once per (robot, cost cfg, world, spline cfg); call per solve.
+    """Build once per (robot, cost cfg, world CAPACITY envelope, spline
+    cfg); call per solve with any world of that envelope.
 
-    __call__(goal7 (NP, 7), free (NP, n_free*D), q_start (NP, D), dt (NP,))
-      -> (cost (NP,), grad (NP, n_free*D))
+    __call__(goal7 (NP, 7), free (NP, n_free*D), q_start (NP, D), dt (NP,),
+             world=None) -> (cost (NP,), grad (NP, n_free*D))
     """
 
     params: KinematicsParams
@@ -59,7 +82,7 @@ class PallasTrajCost:
 
     def __post_init__(self):
         p = self.params
-        # reuse the IK kernel's baked world + pair tables + block cost helpers
+        # reuse the IK kernel's world tables + pair tables + loop helpers
         self._ik = PallasIKCost(p, self.cfg, self.world)
         B0, B1, B2, B3 = _basis_matrices(
             self.bspline.n_control, self.bspline.degree, self.bspline.horizon
@@ -67,14 +90,31 @@ class PallasTrajCost:
         self._basis = jnp.asarray(np.stack([B0, B1, B2, B3]), jnp.float32)
         self._call = jax.jit(self._build())
 
+    def _margin_limits(self):
+        """Host-side margin-shrunk joint limits (terms.bound_cost parity,
+        finite-guarded for unbounded joints)."""
+        lo = np.asarray(self.params.joint_limits.lower, np.float64)
+        hi = np.asarray(self.params.joint_limits.upper, np.float64)
+        margin = self.cfg.bound_cost.margin
+        if margin != 0.0:
+            rng = hi - lo
+            rng[~np.isfinite(rng)] = 0.0
+            lo = lo + margin * rng
+            hi = hi - margin * rng
+        return lo, hi
+
     # ------------------------------------------------------------------
-    def _step_cost(self, q_prev, q_h, v_h, a_h, j_h, goal, is_term, run_w):
+    def _step_cost(
+        self, q_prev, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
+        with_metrics=False,
+    ):
         """Per-step cost on (SUB, LANE) lanes. All jnp; vjp-able.
 
         q_prev/q_h: (D, SUB, LANE); v/a/j likewise; is_term in {0.,1.}.
+        with_metrics=True (forward-only) additionally returns
+        (pos_err2, rot_err2, min_clear, self_viol, oob01) for the step.
         """
         p, cfg = self.params, self.cfg
-        wb = self._ik._wb
         D = p.n_dof
 
         Rg, pg, sx, sy, sz = blast_mod.fk_blast(p, q_h)
@@ -109,8 +149,8 @@ class PallasTrajCost:
         cost = pose_c * (is_term + (1.0 - is_term) * run_w)
 
         # ---- bounds + smoothness --------------------------------------
-        lim_lo = self._ik._lim_lo
-        lim_hi = self._ik._lim_hi
+        # margin-shrunk limits (terms.bound_cost semantics, finite-guarded)
+        lim_lo, lim_hi = self._margin_limits()
         lim = p.joint_limits
         vl = np.asarray(lim.velocity, np.float64)
         al = np.asarray(lim.acceleration, np.float64)
@@ -142,20 +182,37 @@ class PallasTrajCost:
         cc = cfg.collision_cost
         act = cc.activation_distance
         K = cc.sweep_steps if cfg.use_swept_collision else 1
-        pen_sum = jnp.zeros_like(cost)
-        for k in range(1, K + 1):
-            alpha = k / K
-            pen_k = jnp.zeros_like(cost)
-            for si in range(S):
-                if radii[si] < 0:
-                    continue
+        big = 1.0e6
+        min_clear = jnp.full_like(cost, big)
+        pen_total = jnp.zeros_like(cost)
+        for si in range(S):
+            if radii[si] < 0:
+                continue
+            pen_s = jnp.zeros_like(cost)
+            for k in range(1, K + 1):
+                alpha = k / K
                 ix = px[si] * (1 - alpha) + sx[si] * alpha
                 iy = py[si] * (1 - alpha) + sy[si] * alpha
                 iz = pz[si] * (1 - alpha) + sz[si] * alpha
-                msdf = self._sphere_min_sdf(ix, iy, iz)
-                pen_k = pen_k + jnp.maximum(0.0, act + radii[si] - msdf)
-            pen_sum = pen_sum + pen_k
-        cost = cost + cc.weight * pen_sum / K
+                msdf = self._ik._min_sdf_point(ix, iy, iz, w)
+                pen_s = pen_s + jnp.maximum(0.0, act + radii[si] - msdf)
+                if with_metrics and k == K:
+                    # endpoint clearance (blast feasibility semantics,
+                    # `ops/blast.py:609-613`)
+                    min_clear = jnp.minimum(min_clear, msdf - radii[si])
+            pen_s = pen_s / K
+            if cc.speed_metric:
+                # CHOMP-style motion-aware scaling (blast parity:
+                # `ops/blast.py:601-606`, ref `wp_speed_metric.py:10`)
+                speed = jnp.sqrt(
+                    (sx[si] - px[si]) ** 2
+                    + (sy[si] - py[si]) ** 2
+                    + (sz[si] - pz[si]) ** 2
+                    + 1e-12
+                )
+                pen_s = pen_s * (speed + 1e-3)
+            pen_total = pen_total + pen_s
+        cost = cost + cc.weight * pen_total
 
         # ---- self collision (unrolled pairs; small robots) -------------
         sc_w = cfg.self_collision_cost.weight
@@ -164,6 +221,7 @@ class PallasTrajCost:
         pb = np.asarray(p.self_collision.pair_b)
         mg = np.asarray(p.self_collision.pair_margin, np.float64)
         sc = jnp.zeros_like(cost)
+        self_viol = jnp.full_like(cost, -big)
         for idx in range(len(pa)):
             m = mg[idx]
             if not np.isfinite(m):
@@ -174,128 +232,74 @@ class PallasTrajCost:
             ddz = sz[i] - sz[j]
             dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + 1e-12)
             sc = sc + jnp.maximum(m + sc_act - dist, 0.0)
+            if with_metrics:
+                self_viol = jnp.maximum(self_viol, m - dist)
         cost = cost + sc_w * sc
-        return cost
+        if not with_metrics:
+            return cost
 
-    def _sphere_min_sdf(self, x, y, z):
-        """Min sdf of one point set against the baked world (static bake)."""
-        wb = self._ik._wb
-        big = 1.0e6
-        out = jnp.full_like(x, big)
-        for k in range(len(wb["cub_en"])):
-            if wb["cub_en"][k] <= 0:
-                continue
-            R = wb["cub_rot"][k]
-            pos = wb["cub_pos"][k]
-            half = wb["cub_half"][k]
-            ux, uy, uz = x - pos[0], y - pos[1], z - pos[2]
-            lx = R[0, 0] * ux + R[1, 0] * uy + R[2, 0] * uz
-            ly = R[0, 1] * ux + R[1, 1] * uy + R[2, 1] * uz
-            lz = R[0, 2] * ux + R[1, 2] * uy + R[2, 2] * uz
-            qx = jnp.abs(lx) - half[0]
-            qy = jnp.abs(ly) - half[1]
-            qz = jnp.abs(lz) - half[2]
-            o = jnp.sqrt(
-                jnp.maximum(qx, 0.0) ** 2
-                + jnp.maximum(qy, 0.0) ** 2
-                + jnp.maximum(qz, 0.0) ** 2
-                + 1e-12
-            )
-            out = jnp.minimum(out, o + jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0))
-        for k in range(len(wb["sph_en"])):
-            if wb["sph_en"][k] <= 0:
-                continue
-            c = wb["sph_c"][k]
-            out = jnp.minimum(
-                out,
-                jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2 + 1e-12)
-                - wb["sph_r"][k],
-            )
-        for k in range(len(wb["cap_en"])):
-            if wb["cap_en"][k] <= 0:
-                continue
-            R = wb["cap_rot"][k]
-            pos = wb["cap_pos"][k]
-            a = R @ wb["cap_base"][k] + pos
-            b = R @ wb["cap_tip"][k] + pos
-            ba = b - a
-            denom = max(float(ba @ ba), 1e-12)
-            px_, py_, pz_ = x - a[0], y - a[1], z - a[2]
-            h = jnp.clip((px_ * ba[0] + py_ * ba[1] + pz_ * ba[2]) / denom, 0.0, 1.0)
-            out = jnp.minimum(
-                out,
-                jnp.sqrt(
-                    (px_ - ba[0] * h) ** 2 + (py_ - ba[1] * h) ** 2 + (pz_ - ba[2] * h) ** 2
-                    + 1e-12
-                )
-                - wb["cap_r"][k],
-            )
-        for k in range(len(wb["cyl_en"])):
-            if wb["cyl_en"][k] <= 0:
-                continue
-            R = wb["cyl_rot"][k]
-            pos = wb["cyl_pos"][k]
-            ux, uy, uz = x - pos[0], y - pos[1], z - pos[2]
-            lx = R[0, 0] * ux + R[1, 0] * uy + R[2, 0] * uz
-            ly = R[0, 1] * ux + R[1, 1] * uy + R[2, 1] * uz
-            lz = R[0, 2] * ux + R[1, 2] * uy + R[2, 2] * uz
-            dr = jnp.sqrt(lx * lx + ly * ly + 1e-12) - wb["cyl_r"][k]
-            dz = jnp.abs(lz) - wb["cyl_hh"][k]
-            out = jnp.minimum(
-                out,
-                jnp.sqrt(jnp.maximum(dr, 0.0) ** 2 + jnp.maximum(dz, 0.0) ** 2 + 1e-12)
-                + jnp.minimum(jnp.maximum(dr, dz), 0.0),
-            )
-        return out
+        oob = jnp.zeros_like(cost)
+        lo_np = np.asarray(lim.lower, np.float64)
+        hi_np = np.asarray(lim.upper, np.float64)
+        for d in range(D):
+            bad = (q_h[d] < lo_np[d] - 1e-4) | (q_h[d] > hi_np[d] + 1e-4)
+            oob = jnp.maximum(oob, bad.astype(cost.dtype))
+        return cost, pos_err2, rot_err2, min_clear, self_viol, oob
 
     # ------------------------------------------------------------------
-    def _build(self):
+    def _horizon_loop(self, basis_ref, goal, qs, dtv, x, w, mode):
+        """Shared horizon `fori_loop`. x: (n_free*D, SUB, LANE);
+        w: world scalar table from PallasIKCost._read_world.
+
+        mode: "grad" -> (cost, grad_free); "cost" -> cost;
+        "metrics" -> (cost, pos_err, rot_err, feasible01, dt_retimed).
+        """
         p = self.params
         D = p.n_dof
         H = self.bspline.horizon
         n_ctrl = self.bspline.n_control
-        n_free = self.bspline.n_free
         run_w = self.cfg.pose_run_weight / max(H - 1, 1)
+        big = 1.0e6
 
-        def kernel(basis_ref, goal_ref, qs_ref, dt_ref, x_ref, cost_ref, grad_ref):
-            goal = goal_ref[0]  # (7, SUB, LANE)
-            qs = qs_ref[0]  # (D, SUB, LANE)
-            x = x_ref[0]  # (n_free*D, SUB, LANE)
-            dtv = dt_ref[0][0]  # (SUB, LANE)
-            T = dtv * (H - 1)
-            invT = 1.0 / jnp.maximum(T, 1e-6)
+        T = dtv * (H - 1)
+        invT = 1.0 / jnp.maximum(T, 1e-6)
 
-            # control points: pinned start (N_PIN copies) + free knots —
-            # one (n_ctrl*D, SUB, LANE) array
-            ctrl = jnp.concatenate(
-                [jnp.concatenate([qs] * N_PIN, axis=0), x], axis=0
-            )  # (n_ctrl*D, SUB, LANE)
+        # control points: pinned start (N_PIN copies) + free knots
+        ctrl = jnp.concatenate(
+            [jnp.concatenate([qs] * N_PIN, axis=0), x], axis=0
+        )  # (n_ctrl*D, SUB, LANE)
 
-            def eval_at(order, h):
-                """q/v/a/j at step h: (D, SUB, LANE) via basis row scalars."""
-                rows = []
-                for d in range(D):
-                    accum = None
-                    for c in range(n_ctrl):
-                        b = basis_ref[order, h, c]
-                        term = b * ctrl[c * D + d]
-                        accum = term if accum is None else accum + term
-                    rows.append(accum)
-                return jnp.stack(rows)
+        def eval_at(order, h):
+            """q/v/a/j at step h: (D, SUB, LANE) via basis row scalars."""
+            rows = []
+            for d in range(D):
+                accum = None
+                for c in range(n_ctrl):
+                    b = basis_ref[order, h, c]
+                    term = b * ctrl[c * D + d]
+                    accum = term if accum is None else accum + term
+                rows.append(accum)
+            return jnp.stack(rows)
+
+        def states_at(h, h_prev):
+            q_h = eval_at(0, h)
+            q_p = eval_at(0, h_prev)
+            v_h = eval_at(1, h) * invT
+            a_h = eval_at(2, h) * invT * invT
+            j_h = eval_at(3, h) * invT * invT * invT
+            return q_p, q_h, v_h, a_h, j_h
+
+        if mode == "grad":
 
             def body(h, carry):
                 cost_acc, grad_acc = carry
                 h_prev = jnp.maximum(h - 1, 0)
-                q_h = eval_at(0, h)
-                q_p = eval_at(0, h_prev)
-                v_h = eval_at(1, h) * invT
-                a_h = eval_at(2, h) * invT * invT
-                j_h = eval_at(3, h) * invT * invT * invT
+                q_p, q_h, v_h, a_h, j_h = states_at(h, h_prev)
                 is_term = (h == H - 1).astype(jnp.float32)
 
                 c_h, vjp = jax.vjp(
                     lambda qp, qq, vv, aa, jj: self._step_cost(
-                        qp, qq, vv, aa, jj, goal, is_term, run_w
+                        qp, qq, vv, aa, jj, goal, is_term, run_w, w
                     ),
                     q_p, q_h, v_h, a_h, j_h,
                 )
@@ -323,38 +327,122 @@ class PallasTrajCost:
             cost0 = jnp.zeros((SUB, LANE), jnp.float32)
             grad0 = jnp.zeros((n_ctrl * D, SUB, LANE), jnp.float32)
             cost, grad_full = jax.lax.fori_loop(0, H, body, (cost0, grad0))
-            cost_ref[0] = cost
             # only the free-knot slice flows back (pinned rows are constants)
-            grad_ref[0] = grad_full[N_PIN * D :]
+            return cost, grad_full[N_PIN * D :]
 
-        def call(goal7, free, q_start, dtv):
+        if mode == "cost":
+
+            def body(h, cost_acc):
+                h_prev = jnp.maximum(h - 1, 0)
+                q_p, q_h, v_h, a_h, j_h = states_at(h, h_prev)
+                is_term = (h == H - 1).astype(jnp.float32)
+                return cost_acc + self._step_cost(
+                    q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w, w
+                )
+
+            return jax.lax.fori_loop(0, H, body, jnp.zeros((SUB, LANE), jnp.float32))
+
+        # mode == "metrics": forward pass with feasibility + retiming stats
+        lim = p.joint_limits
+        vl = np.asarray(lim.velocity, np.float64)
+        al = np.asarray(lim.acceleration, np.float64)
+        jl = np.asarray(lim.jerk, np.float64)
+
+        def body(h, carry):
+            cost_acc, pe2, re2, clear, sviol, oob, rv, ra, rj = carry
+            h_prev = jnp.maximum(h - 1, 0)
+            q_p, q_h, v_h, a_h, j_h = states_at(h, h_prev)
+            is_term = (h == H - 1).astype(jnp.float32)
+            c_h, pe2_h, re2_h, clear_h, sviol_h, oob_h = self._step_cost(
+                q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
+                with_metrics=True,
+            )
+            # terminal-step pose errors only
+            pe2 = pe2 * (1.0 - is_term) + pe2_h * is_term
+            re2 = re2 * (1.0 - is_term) + re2_h * is_term
+            clear = jnp.minimum(clear, clear_h)
+            sviol = jnp.maximum(sviol, sviol_h)
+            oob = jnp.maximum(oob, oob_h)
+            # retiming ratios (solver `_retime_dt` parity)
+            for d in range(D):
+                rv = jnp.maximum(rv, jnp.abs(v_h[d]) / vl[d])
+                ra = jnp.maximum(ra, jnp.abs(a_h[d]) / al[d])
+                rj = jnp.maximum(rj, jnp.abs(j_h[d]) / jl[d])
+            return cost_acc + c_h, pe2, re2, clear, sviol, oob, rv, ra, rj
+
+        z = jnp.zeros((SUB, LANE), jnp.float32)
+        carry = (z, z, z, jnp.full_like(z, big), jnp.full_like(z, -big), z, z, z, z)
+        cost, pe2, re2, clear, sviol, oob, rv, ra, rj = jax.lax.fori_loop(
+            0, H, body, carry
+        )
+        pos_err = jnp.sqrt(jnp.maximum(pe2, 1e-16))
+        rot_err = jnp.sqrt(jnp.maximum(re2, 1e-16))
+        feasible = ((clear >= 0.0) & (sviol <= 0.0) & (oob < 0.5)).astype(jnp.float32)
+        # cbrt via exp/log (no cbrt primitive in Mosaic); rj >= 0
+        cbrt_rj = jnp.exp(jnp.log(jnp.maximum(rj, 1e-12)) / 3.0)
+        scale = jnp.maximum(rv, jnp.maximum(jnp.sqrt(ra), cbrt_rj))
+        dt_ret = dtv * scale * 1.01  # caller clips to [min_dt, max_dt]
+        return cost, pos_err, rot_err, feasible, dt_ret
+
+    # ------------------------------------------------------------------
+    def _traj_in_specs(self, n_free_D):
+        D = self.params.n_dof
+        H = self.bspline.horizon
+        n_ctrl = self.bspline.n_control
+        return [
+            pl.BlockSpec((4, H, n_ctrl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_free_D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def _traj_pack(self, goal7, free, q_start, dtv):
+        D = self.params.n_dof
+        n_free = self.bspline.n_free
+        NP = free.shape[0]
+        nb = max((NP + BLK - 1) // BLK, 1)
+        Npad = nb * BLK
+
+        def pad(a, feat, pad_row=None):
+            out = jnp.zeros((Npad, feat), a.dtype).at[:NP].set(a)
+            if pad_row is not None:
+                out = out.at[NP:].set(jnp.asarray(pad_row, a.dtype))
+            return jnp.moveaxis(out.reshape(nb, SUB, LANE, feat), -1, 1)
+
+        # padded rows get identity quaternions / safe dt so the quat and
+        # 1/T math stays well-defined on dead lanes
+        gb = pad(goal7, 7, pad_row=[0, 0, 0, 1, 0, 0, 0])
+        xb = pad(free, n_free * D)
+        qb = pad(q_start, D)
+        db = pad(jnp.maximum(dtv, 1e-4)[:, None], 1, pad_row=[0.02])
+        return gb, xb, qb, db, nb, Npad
+
+    def _build(self):
+        D = self.params.n_dof
+        H = self.bspline.horizon
+        n_ctrl = self.bspline.n_control
+        n_free = self.bspline.n_free
+
+        def kernel(
+            basis_ref, goal_ref, qs_ref, dt_ref, x_ref, wc, ws, wp, wy,
+            cost_ref, grad_ref,
+        ):
+            w = self._ik._read_world(wc, ws, wp, wy)
+            cost, grad = self._horizon_loop(
+                basis_ref, goal_ref[0], qs_ref[0], dt_ref[0][0], x_ref[0], w, "grad"
+            )
+            cost_ref[0] = cost
+            grad_ref[0] = grad
+
+        def call(goal7, free, q_start, dtv, world=None):
             NP = free.shape[0]
-            nb = max((NP + BLK - 1) // BLK, 1)
-            Npad = nb * BLK
-
-            def pad(a, feat, pad_row=None):
-                out = jnp.zeros((Npad, feat), a.dtype).at[:NP].set(a)
-                if pad_row is not None:
-                    out = out.at[NP:].set(jnp.asarray(pad_row, a.dtype))
-                return jnp.moveaxis(out.reshape(nb, SUB, LANE, feat), -1, 1)
-
-            # padded rows get identity quaternions / safe dt so the quat and
-            # 1/T math stays well-defined on dead lanes
-            gb = pad(goal7, 7, pad_row=[0, 0, 0, 1, 0, 0, 0])
-            xb = pad(free, n_free * D)
-            qb = pad(q_start, D)
-            db = pad(jnp.maximum(dtv, 1e-4)[:, None], 1, pad_row=[0.02])
-
+            gb, xb, qb, db, nb, Npad = self._traj_pack(goal7, free, q_start, dtv)
             cost, grad = pl.pallas_call(
                 kernel,
                 grid=(nb,),
-                in_specs=[
-                    pl.BlockSpec((4, H, n_ctrl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 7, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, n_free * D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                ],
+                in_specs=self._traj_in_specs(n_free * D)
+                + self._ik._world_specs(),
                 out_specs=[
                     pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, n_free * D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -366,12 +454,147 @@ class PallasTrajCost:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
-            )(self._basis, gb, qb, db, xb)
+            )(self._basis, gb, qb, db, xb, *self._world_args(world))
             c = cost.reshape(Npad)[:NP]
             g = jnp.moveaxis(grad, 1, -1).reshape(Npad, n_free * D)[:NP]
             return c, g
 
         return call
 
-    def __call__(self, goal7, free, q_start, dtv):
-        return self._call(goal7, free, q_start, dtv)
+    def _world_args(self, world):
+        from curobo_tpu.ops.pallas_ik import pack_world_arrays
+
+        return pack_world_arrays(self.world if world is None else world)
+
+    def __call__(self, goal7, free, q_start, dtv, world=None):
+        return self._call(goal7, free, q_start, dtv, world)
+
+    # ==================================================================
+    # Fused full trajectory solve: (MPPI ->) L-BFGS over free knots ->
+    # metrics + dt retiming, ALL inside one Pallas dispatch. This is the
+    # trajopt/MPC analog of PallasIKCost.build_solver: the reference runs
+    # its whole optimizer under a CUDA graph (`solver_trajopt.py:258`,
+    # `gradient_opt_core.py:334`); here the loop itself is on-core.
+    # ==================================================================
+    def build_solver(
+        self,
+        mppi_iters: int = 0,
+        n_particles: int = 16,
+        init_std: float = 0.1,
+        std_decay: float = 0.9,
+        min_std: float = 0.005,
+        temperature: float = 0.05,
+        step_size: float = 0.9,
+        lbfgs_iters: int = 48,
+        history: int = 10,
+        max_step: float = 0.4,
+        n_linesearch: int = 5,
+        ls_base: float = 1.0,
+        ls_ratio: float = 0.35,
+        eps_smooth=None,
+    ):
+        """Returns solve(goal7 (N,7), free (N, n_free*D), q_start (N,D),
+        dt (N,), seed) -> (free, cost, pos_err, rot_err, feasible01,
+        dt_retimed) — one dispatch for the whole seed-solve.
+
+        eps_smooth: optional (n_free, n_free) STOMP smoothing matrix for
+        MPPI noise over the knot axis (MPC parity: `opt/mppi.py:40`),
+        applied as a static unrolled linear combination of knot rows."""
+        p = self.params
+        D = p.n_dof
+        n_free = self.bspline.n_free
+        nfD = n_free * D
+
+        eps_transform = None
+        if eps_smooth is not None:
+            L = np.asarray(eps_smooth, np.float64)
+
+            def eps_transform(eps):  # (nfD, SUB, LANE): mix knot rows per dof
+                rows = []
+                for k in range(n_free):
+                    for d in range(D):
+                        acc = None
+                        for j in range(n_free):
+                            w = float(L[k, j])
+                            if abs(w) < 1e-8:
+                                continue
+                            t = w * eps[j * D + d]
+                            acc = t if acc is None else acc + t
+                        rows.append(
+                            acc if acc is not None else jnp.zeros_like(eps[0])
+                        )
+                return jnp.stack(rows)
+        lo_np = np.maximum(np.asarray(p.joint_limits.lower, np.float64), -2 * np.pi)
+        hi_np = np.minimum(np.asarray(p.joint_limits.upper, np.float64), 2 * np.pi)
+
+        def clip_x(x):
+            # knot rows repeat the dof pattern: row r -> dof r % D. The
+            # spline lives in the control-point convex hull, so clipping
+            # knots to the joint box keeps the trajectory in bounds.
+            return jnp.stack(
+                [jnp.clip(x[r], lo_np[r % D], hi_np[r % D]) for r in range(nfD)]
+            )
+
+        def kernel(
+            seed_ref, basis_ref, goal_ref, qs_ref, dt_ref, x_ref, wc, ws, wp, wy,
+            out_x, out_c, out_pe, out_re, out_fe, out_dt,
+        ):
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            goal = goal_ref[0]
+            qs = qs_ref[0]
+            dtv = dt_ref[0][0]
+            w = self._ik._read_world(wc, ws, wp, wy)
+
+            def cost_fn(xx):
+                return self._horizon_loop(basis_ref, goal, qs, dtv, xx, w, "cost")
+
+            def cost_grad(xx):
+                return self._horizon_loop(basis_ref, goal, qs, dtv, xx, w, "grad")
+
+            x = x_ref[0]
+            if mppi_iters > 0:
+                x, _ = self._ik._mppi_loop(
+                    cost_fn, clip_x, x, mppi_iters, n_particles,
+                    init_std, std_decay, min_std, temperature, step_size,
+                    eps_transform=eps_transform,
+                )
+            best_x, _ = self._ik._lbfgs_loop(
+                cost_fn, clip_x, x, lbfgs_iters, history, max_step,
+                n_linesearch, ls_base, ls_ratio, cost_grad=cost_grad,
+            )
+            cost, pe, re, fe, dt_ret = self._horizon_loop(
+                basis_ref, goal, qs, dtv, best_x, w, "metrics"
+            )
+            out_x[0] = best_x
+            out_c[0] = cost
+            out_pe[0] = pe
+            out_re[0] = re
+            out_fe[0] = fe
+            out_dt[0] = dt_ret
+
+        def solve(goal7, free, q_start, dtv, seed, world=None):
+            NP = free.shape[0]
+            gb, xb, qb, db, nb, Npad = self._traj_pack(goal7, free, q_start, dtv)
+            seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+            c_spec = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            x_spec = pl.BlockSpec((1, nfD, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+            c_shape = jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32)
+            x_shape = jax.ShapeDtypeStruct((nb, nfD, SUB, LANE), jnp.float32)
+            out = pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + self._traj_in_specs(nfD)
+                + self._ik._world_specs(),
+                out_specs=[x_spec, c_spec, c_spec, c_spec, c_spec, c_spec],
+                out_shape=[x_shape, c_shape, c_shape, c_shape, c_shape, c_shape],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024
+                ),
+            )(seed_arr, self._basis, gb, qb, db, xb, *self._world_args(world))
+            xb_, cb, peb, reb, feb, dtb = out
+            x = jnp.moveaxis(xb_, 1, -1).reshape(Npad, nfD)[:NP]
+            flat = lambda a: a.reshape(Npad)[:NP]
+            return x, flat(cb), flat(peb), flat(reb), flat(feb), flat(dtb)
+
+        return solve

@@ -30,6 +30,9 @@ from curobo_tpu.types.state import JointState
 @dataclasses.dataclass(frozen=True)
 class MPCConfig:
     bspline: BSplineConfig = BSplineConfig(degree=3, n_control=10, horizon=24)
+    # Pallas trajectory mega-kernel per tick: the whole MPPI+L-BFGS tick
+    # optimization is ONE kernel dispatch (ops/pallas_traj.py).
+    use_pallas: bool = True
     # exploration stage (escapes local minima around obstacles)
     use_particle_stage: bool = True
     mppi: MPPIConfig = MPPIConfig(
@@ -99,6 +102,81 @@ class MPCSolver:
         # low-acceleration, so exploration isn't killed by bound costs.
         self._smooth_L = smooth_sample_transform(cfg.bspline.n_free, params.n_dof)
         self._step_jit = jax.jit(self._step_impl)
+        from curobo_tpu.solver._cache import WorldKeyedCache
+
+        self._pallas_cache = WorldKeyedCache(self._build_pallas_step)
+
+    # ------------------------------------------------------------------
+    def _build_pallas_step(self, world):
+        import functools
+
+        import numpy as np
+
+        from curobo_tpu.ops.pallas_traj import PallasTrajCost
+
+        cfg = self.cfg
+        ptc = PallasTrajCost(self.params, cfg.rollout, world, cfg.bspline)
+        mp, lb = cfg.mppi, cfg.lbfgs
+        solve_kernel = ptc.build_solver(
+            mppi_iters=mp.n_iters if cfg.use_particle_stage else 0,
+            n_particles=mp.n_particles,
+            init_std=float(mp.init_std),
+            std_decay=mp.std_decay,
+            min_std=mp.min_std,
+            temperature=mp.temperature,
+            step_size=mp.step_size,
+            lbfgs_iters=lb.n_iters if cfg.use_gradient_stage else 0,
+            history=lb.history,
+            max_step=lb.max_step,
+            eps_smooth=np.asarray(self._smooth_L),
+        )
+        return jax.jit(
+            functools.partial(self._step_impl_pallas, solve_kernel=solve_kernel)
+        )
+
+    def _use_pallas(self, world, goal) -> bool:
+        from curobo_tpu.ops.blast import BlastRollout
+        from curobo_tpu.ops.pallas_ik import world_is_supported
+        from curobo_tpu.ops.pallas_traj import traj_config_is_supported
+
+        return (
+            self.cfg.use_pallas
+            and BlastRollout.supports(self.params, goal, self.cfg.rollout)
+            and world_is_supported(world)
+            and traj_config_is_supported(self.cfg.rollout)
+            and goal.goal_cspace is None
+            and jax.default_backend() == "tpu"
+        )
+
+    def _step_impl_pallas(
+        self,
+        world: world_mod.WorldData,
+        goal: Goal,
+        state: MPCState,
+        q_measured: jnp.ndarray,
+        qd_measured: jnp.ndarray,
+        solve_kernel=None,
+    ) -> Tuple[MPCResult, MPCState]:
+        cfg = self.cfg
+        p = self.params
+        B, D = q_measured.shape
+        dt = jnp.full((B,), cfg.control_dt)
+        a = cfg.state_filter_alpha
+        q0 = a * q_measured + (1.0 - a) * state.q_filtered
+
+        goal7 = jnp.concatenate(
+            [goal.goal_pos[..., 0, 0, :], goal.goal_quat[..., 0, 0, :]], axis=-1
+        )
+        key, sub = jax.random.split(state.key)
+        seed_scalar = jax.random.randint(sub, (), 0, 2**31 - 1)
+        x, c, pe, re, fe, _ = solve_kernel(
+            goal7, state.free_knots.reshape(B, -1), q0, dt, seed_scalar, world
+        )
+        knots = x.reshape(B, cfg.bspline.n_free, D)
+        traj = self.transition.rollout(knots, q0, dt, joint_names=p.joint_names)
+        return self._finish_step(
+            knots, traj, q0, qd_measured, fe > 0.5, c, pe, re, key, dt
+        )
 
     # ------------------------------------------------------------------
     def setup(self, q_start: jnp.ndarray, key=None) -> MPCState:
@@ -134,7 +212,7 @@ class MPCSolver:
 
         rollout = (
             self._blast
-            if BlastRollout.supports(p, goal)
+            if BlastRollout.supports(p, goal, cfg.rollout)
             and cfg.rollout.torque_limit_weight == 0.0
             else self.rollout
         )
@@ -154,13 +232,27 @@ class MPCSolver:
         key, sub = jax.random.split(state.key)
         x = state.free_knots.reshape(B, -1)
         if cfg.use_particle_stage:
-            x, _ = mppi_optimize(cost, x, sub, cfg.mppi, eps_transform=smooth_eps)
+            with jax.named_scope("mpc.mppi"):
+                x, _ = mppi_optimize(
+                    cost, x, sub, cfg.mppi, eps_transform=smooth_eps
+                )
         if cfg.use_gradient_stage:
             x, _ = lbfgs_optimize(cost, x, cfg.lbfgs)
         knots = x.reshape(B, cfg.bspline.n_free, D)
         traj = self.transition.rollout(knots, q0, dt, joint_names=p.joint_names)
         res = rollout.evaluate_trajectory(world, goal, traj)
+        return self._finish_step(
+            knots, traj, q0, qd_measured, res.feasible,
+            res.cost, res.pos_err, res.rot_err, key, dt,
+        )
 
+    def _finish_step(
+        self, knots, traj, q0, qd_measured, feasible, cost, pos_err, rot_err,
+        key, dt,
+    ) -> Tuple[MPCResult, MPCState]:
+        """Shared tick tail: brake fallback + command extraction + warm start."""
+        cfg = self.cfg
+        p = self.params
         # safe deceleration fallback for infeasible plans: exponential
         # velocity bleed-off from the measured state.
         H = cfg.bspline.horizon
@@ -168,7 +260,6 @@ class MPCSolver:
         # integrate the braking velocity profile
         brake_v = qd_measured[:, None, :] * decay[:, None]  # (B, H, D)
         brake_q = q0[:, None, :] + jnp.cumsum(brake_v, axis=1) * cfg.control_dt
-        feasible = res.feasible
         plan_q = jnp.where(feasible[:, None, None], traj.position, brake_q)
         plan_v = jnp.where(feasible[:, None, None], traj.velocity, brake_v)
         plan_a = jnp.where(
@@ -195,8 +286,8 @@ class MPCSolver:
             free_knots=knots, q_filtered=plan_q[:, 1], key=key
         )
         result = MPCResult(
-            command=command, plan=plan, cost=res.cost,
-            feasible=feasible, pos_err=res.pos_err, rot_err=res.rot_err,
+            command=command, plan=plan, cost=cost,
+            feasible=feasible, pos_err=pos_err, rot_err=rot_err,
         )
         return result, new_state
 
@@ -214,4 +305,9 @@ class MPCSolver:
             if joint_state.velocity is not None
             else jnp.zeros_like(joint_state.position)
         )
-        return self._step_jit(world, goal, state, joint_state.position, qd)
+        step = (
+            self._pallas_cache.get(world)
+            if self._use_pallas(world, goal)
+            else self._step_jit
+        )
+        return step(world, goal, state, joint_state.position, qd)

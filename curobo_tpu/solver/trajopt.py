@@ -36,6 +36,10 @@ class TrajOptConfig:
     n_seeds: int = 4
     bspline: BSplineConfig = BSplineConfig(degree=5, n_control=16, horizon=32)
     use_particle_stage: bool = False
+    # Pallas trajectory mega-kernel (ops/pallas_traj.py): the whole seed
+    # solve (L-BFGS over free knots + metrics + dt retiming) is ONE kernel
+    # dispatch. World is baked; falls back to blast when unsupported.
+    use_pallas: bool = True
     mppi: MPPIConfig = MPPIConfig(n_particles=16, n_iters=4, init_std=0.1)
     lbfgs: LBFGSConfig = LBFGSConfig(history=15, n_iters=80, max_step=0.5)
     rollout: RobotRolloutConfig = RobotRolloutConfig(
@@ -104,13 +108,96 @@ class TrajOptSolver:
         self._blast = BlastRollout(params, cfg.rollout)
         self.transition = BSplineTransition(cfg.bspline)
         self._solve_jit = jax.jit(self._solve_seeds)
+        from curobo_tpu.solver._cache import WorldKeyedCache
+
+        self._pallas_cache = WorldKeyedCache(self._build_pallas_solver)
+
+    # ------------------------------------------------------------------
+    def _build_pallas_solver(self, world):
+        import functools
+
+        from curobo_tpu.ops.pallas_traj import PallasTrajCost
+
+        cfg = self.cfg
+        ptc = PallasTrajCost(self.params, cfg.rollout, world, cfg.bspline)
+        mp, lb = cfg.mppi, cfg.lbfgs
+        solve_kernel = ptc.build_solver(
+            mppi_iters=mp.n_iters if cfg.use_particle_stage else 0,
+            n_particles=mp.n_particles,
+            init_std=float(mp.init_std),
+            std_decay=mp.std_decay,
+            min_std=mp.min_std,
+            temperature=mp.temperature,
+            step_size=mp.step_size,
+            lbfgs_iters=lb.n_iters,
+            history=lb.history,
+            max_step=lb.max_step,
+        )
+        return jax.jit(
+            functools.partial(self._solve_seeds_pallas, solve_kernel=solve_kernel)
+        )
+
+    def _use_pallas(self, world, goal) -> bool:
+        from curobo_tpu.ops.blast import BlastRollout
+        from curobo_tpu.ops.pallas_ik import world_is_supported
+        from curobo_tpu.ops.pallas_traj import traj_config_is_supported
+
+        return (
+            self.cfg.use_pallas
+            and BlastRollout.supports(self.params, goal, self.cfg.rollout)
+            and world_is_supported(world)
+            and traj_config_is_supported(self.cfg.rollout)
+            and goal.goal_cspace is None
+            and jax.default_backend() == "tpu"
+        )
+
+    def _solve_seeds_pallas(
+        self,
+        world: world_mod.WorldData,  # unused (baked); call-signature parity
+        goal: Goal,
+        q_start: jnp.ndarray,
+        free0: jnp.ndarray,
+        dt: jnp.ndarray,
+        key: jax.Array,
+        solve_kernel=None,
+    ) -> _SeedSolveOut:
+        cfg = self.cfg
+        B, S, n_free, D = free0.shape
+        goal_s = goal.tile_seeds(S)
+        goal7 = jnp.concatenate(
+            [goal_s.goal_pos[..., 0, 0, :], goal_s.goal_quat[..., 0, 0, :]], axis=-1
+        ).reshape(B * S, 7)
+        qs = jnp.broadcast_to(q_start[:, None], (B, S, D)).reshape(B * S, D)
+        seed_scalar = jax.random.randint(key, (), 0, 2**31 - 1)
+        x, c, pe, re, fe, dt_ret = solve_kernel(
+            goal7, free0.reshape(B * S, n_free * D), qs, dt.reshape(B * S),
+            seed_scalar, world,
+        )
+        shape2 = (B, S)
+        pe = pe.reshape(shape2)
+        re = re.reshape(shape2)
+        feas = fe.reshape(shape2) > 0.5
+        conv = (
+            (pe <= cfg.position_threshold) & (re <= cfg.rotation_threshold) & feas
+        )
+        return _SeedSolveOut(
+            free_knots=x.reshape(B, S, n_free, D),
+            cost=c.reshape(shape2),
+            feasible=feas,
+            converged=conv,
+            pos_err=pe,
+            rot_err=re,
+            dt_retimed=jnp.clip(
+                dt_ret.reshape(shape2), cfg.min_dt, cfg.max_dt
+            ),
+        )
 
     def _traj_rollout(self, goal: Goal):
         """Pick the B-last fast path when the problem shape supports it."""
         from curobo_tpu.ops.blast import BlastRollout
 
         if (
-            BlastRollout.supports(self.params, goal)
+            BlastRollout.supports(self.params, goal, self.cfg.rollout)
             and self.cfg.rollout.torque_limit_weight == 0.0
         ):
             return self._blast
@@ -170,11 +257,14 @@ class TrajOptSolver:
 
         x = free0.reshape(B, S, n_free * D)
         if cfg.use_particle_stage:
-            x, _ = mppi_optimize(cost, x, key, cfg.mppi)
-        x, _ = lbfgs_optimize(cost, x, cfg.lbfgs)
+            with jax.named_scope("trajopt.mppi"):
+                x, _ = mppi_optimize(cost, x, key, cfg.mppi)
+        with jax.named_scope("trajopt.lbfgs"):
+            x, _ = lbfgs_optimize(cost, x, cfg.lbfgs)
 
-        traj = traj_of(x)
-        res = rollout.evaluate_trajectory(world, goal_s, traj)
+        with jax.named_scope("trajopt.metrics"):
+            traj = traj_of(x)
+            res = rollout.evaluate_trajectory(world, goal_s, traj)
         conv = res.converged(cfg.position_threshold, cfg.rotation_threshold)
         dt_ret = self._retime_dt(traj, dt)
         return _SeedSolveOut(
@@ -240,9 +330,14 @@ class TrajOptSolver:
             )
         dt = jnp.broadcast_to(self.estimate_dt(q_start[:, None], seed_q), (B, S))
 
+        solve = (
+            self._pallas_cache.get(world)
+            if self._use_pallas(world, goal)
+            else self._solve_jit
+        )
         best = None  # host-side per-problem best tracker
         for attempt in range(cfg.finetune_attempts + 1):
-            out = self._solve_jit(world, goal, q_start, free0, dt, key)
+            out = solve(world, goal, q_start, free0, dt, key)
             ok = out.converged  # (B, S)
             # candidate score: feasible+converged -> motion time, else BIG
             mt = out.dt_retimed * (cfg.bspline.horizon - 1)
@@ -303,15 +398,21 @@ class TrajOptSolver:
 
     # ------------------------------------------------------------------
     def interpolate(
-        self, result: TrajOptResult, q_start: jnp.ndarray, dt_out: float
+        self, result: TrajOptResult, q_start: jnp.ndarray, dt_out: float,
+        h_out: Optional[int] = None,
     ) -> JointState:
         """Resample best trajectories to a fixed control rate.
 
         Parity: reference control-rate resampler (`util/warp_interpolation.py:125`).
         All problems are resampled onto the max horizon so shapes stay static;
         per-problem times beyond motion_time clamp to the final state.
+        h_out pins the output horizon (static shape across calls — no
+        retrace per batch; the reference's fixed interpolation buffer).
         """
-        H_out = int(np.ceil(float(jnp.max(result.motion_time)) / dt_out)) + 1
+        if h_out is not None:
+            H_out = h_out
+        else:
+            H_out = int(np.ceil(float(jnp.max(result.motion_time)) / dt_out)) + 1
         ctrl = self.transition.assemble_control(result.free_knots, q_start)
         t = jnp.arange(H_out) * dt_out  # (H_out,)
         t_norm = t / result.motion_time[:, None]  # (B, H_out)
