@@ -100,7 +100,7 @@ class TestMapper:
         cfg = MapperConfig(dims=(32, 32, 32), voxel_size=0.05, origin=(-0.8, -0.8, -0.8))
         mapper = Mapper(cfg)
         pts = jnp.asarray(np.random.RandomState(0).uniform(-0.1, 0.1, (200, 3)), dtype=jnp.float32)
-        mapper.integrate(LidarObservation(points=pts, pose=Pose.identity()))
+        mapper.integrate(LidarObservation(points=pts, pose=Pose.identity()), carve=False)
         vg = mapper.get_voxel_grid()
         from curobo_tpu.geom import types as gt, world as wm
 
@@ -114,7 +114,7 @@ class TestMapper:
         cfg = MapperConfig(dims=(16, 16, 16), voxel_size=0.05, origin=(0, 0, 0))
         mapper = Mapper(cfg)
         pts = jnp.asarray(np.random.RandomState(1).uniform(0.2, 0.6, (50, 3)), dtype=jnp.float32)
-        mapper.integrate(LidarObservation(points=pts, pose=Pose.identity()))
+        mapper.integrate(LidarObservation(points=pts, pose=Pose.identity()), carve=False)
         p = str(tmp_path / "map.npz")
         mapper.save(p)
         m2 = Mapper(cfg)
@@ -163,3 +163,179 @@ class TestFilterDepth:
         out = np.asarray(f(obs).depth)
         assert abs(out[20, 20] - 2.0) < 0.05  # hole filled
         assert out.std() <= depth.std() + 1e-6
+
+
+class TestJFA:
+    def test_matches_exact_edt(self):
+        from curobo_tpu.perception.mapper import jfa_edt
+
+        rng = np.random.RandomState(3)
+        occ = rng.rand(24, 20, 16) < 0.02
+        occ[4, 4, 4] = True
+        cell = 0.05
+        exact = np.asarray(exact_edt(jnp.asarray(occ), cell))
+        jfa = np.asarray(jfa_edt(jnp.asarray(occ), cell))
+        # JFA is exact-or-within-a-voxel after the +2 cleanup passes
+        assert np.max(np.abs(jfa - exact)) <= 1.5 * cell
+        # the overwhelming majority of voxels are exact
+        assert np.mean(np.abs(jfa - exact) < 1e-5) > 0.99
+
+    def test_esdf_mode_jfa(self):
+        from curobo_tpu.perception.mapper import TSDFGrid, compute_esdf
+
+        cfg = MapperConfig(dims=(16, 16, 16), voxel_size=0.05, origin=(0, 0, 0),
+                           esdf_mode="jfa")
+        occ = np.zeros(cfg.dims, bool)
+        occ[8, 8, 8] = True
+        grid = TSDFGrid(
+            tsdf=jnp.where(jnp.asarray(occ), -0.01, cfg.truncation),
+            weight=jnp.where(jnp.asarray(occ), 1.0, 0.0),
+        )
+        esdf = np.asarray(compute_esdf(cfg, grid))
+        np.testing.assert_allclose(esdf[8, 8, 12], 4 * cfg.voxel_size, atol=1e-5)
+
+
+class TestLidarCarving:
+    def test_carves_free_space_and_marks_surface(self):
+        # sensor at origin, a wall of points at x = 1.0 spanning y/z
+        cfg = MapperConfig(dims=(40, 24, 24), voxel_size=0.05,
+                           origin=(0.05, -0.6, -0.6),
+                           lidar_bins=(256, 64),
+                           lidar_fov_elevation=(-0.8, 0.8))
+        mapper = Mapper(cfg)
+        ys, zs = np.meshgrid(np.linspace(-0.5, 0.5, 60), np.linspace(-0.5, 0.5, 60))
+        pts = np.stack([np.ones_like(ys), ys, zs], -1).reshape(-1, 3)
+        mapper.integrate(LidarObservation(points=jnp.asarray(pts, jnp.float32),
+                                          pose=Pose.identity()))
+        tsdf = np.asarray(mapper.grid.tsdf)
+        w = np.asarray(mapper.grid.weight)
+
+        def idx(p):
+            return tuple(int(round((p[i] - cfg.origin[i]) / cfg.voxel_size))
+                         for i in range(3))
+
+        free = idx([0.5, 0.0, 0.0])   # between sensor and wall
+        surf = idx([1.0, 0.0, 0.0])   # on the wall
+        assert w[free] > 0 and tsdf[free] > 0.9 * cfg.truncation  # carved free
+        assert w[surf] > 0 and abs(tsdf[surf]) < 2 * cfg.voxel_size  # surface
+
+
+class TestRGBAndFeatures:
+    def test_rgb_fused_at_surface(self):
+        cfg = MapperConfig(dims=(64, 64, 48), voxel_size=0.025,
+                           origin=(-0.8, -0.8, -0.2), rgb_channels=True)
+        mapper = Mapper(cfg)
+        K = make_camera()
+        box_c, box_h = np.array([0.0, 0.0, 0.4]), np.array([0.15, 0.15, 0.15])
+        R = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], dtype=np.float64)
+        cam = Pose.from_rotation(jnp.asarray(R, jnp.float32),
+                                 jnp.asarray([-1.2, 0.0, 0.4]))
+        depth = render_box_depth(K, cam, box_c, box_h)
+        rgb = jnp.broadcast_to(jnp.asarray([1.0, 0.25, 0.0]),
+                               depth.shape + (3,))
+        mapper.integrate(CameraObservation(depth=depth, intrinsics=K,
+                                           pose=cam, rgb=rgb))
+        # query color on the observed near face
+        q = jnp.asarray([[box_c[0] - box_h[0], 0.0, 0.4]])
+        c = np.asarray(mapper.query_rgb(q))[0]
+        np.testing.assert_allclose(c, [1.0, 0.25, 0.0], atol=0.05)
+
+
+class TestRenderer:
+    def test_render_roundtrip(self):
+        """Integrate a synthetic box, re-render from the same camera: depths
+        must agree on observed surface pixels (reference renderer.py:61)."""
+        cfg = MapperConfig(dims=(64, 64, 48), voxel_size=0.025,
+                           origin=(-0.8, -0.8, -0.2))
+        mapper = Mapper(cfg)
+        K = make_camera()
+        box_c, box_h = np.array([0.0, 0.0, 0.4]), np.array([0.15, 0.15, 0.15])
+        R = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], dtype=np.float64)
+        cam = Pose.from_rotation(jnp.asarray(R, jnp.float32),
+                                 jnp.asarray([-1.2, 0.0, 0.4]))
+        depth = render_box_depth(K, cam, box_c, box_h)
+        mapper.integrate(CameraObservation(depth=depth, intrinsics=K, pose=cam))
+        rendered = np.asarray(mapper.render_depth(K, cam, depth.shape))
+        d = np.asarray(depth)
+        both = (d > 0) & (rendered > 0)
+        assert both.sum() > 0.5 * (d > 0).sum()
+        err = np.abs(rendered[both] - d[both])
+        assert np.median(err) < 2 * cfg.voxel_size
+
+
+class TestPoseRefinement:
+    def test_recovers_small_offset(self):
+        cfg = MapperConfig(dims=(64, 64, 48), voxel_size=0.025,
+                           origin=(-0.8, -0.8, -0.2))
+        mapper = Mapper(cfg)
+        K = make_camera()
+        box_c, box_h = np.array([0.0, 0.0, 0.4]), np.array([0.15, 0.15, 0.15])
+        R = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], dtype=np.float64)
+        cam = Pose.from_rotation(jnp.asarray(R, jnp.float32),
+                                 jnp.asarray([-1.2, 0.0, 0.4]))
+        depth = render_box_depth(K, cam, box_c, box_h)
+        mapper.integrate(CameraObservation(depth=depth, intrinsics=K, pose=cam))
+        # perturb along the viewing axis (the direction a single box face
+        # observes); the refiner must move it back toward truth
+        cam_bad = Pose(cam.position + jnp.asarray([0.03, 0.0, 0.0]),
+                       cam.quaternion)
+        obs_bad = CameraObservation(depth=depth, intrinsics=K, pose=cam_bad)
+        refined = mapper.refine_pose(obs_bad, n_iters=15)
+        err_before = float(jnp.linalg.norm(cam_bad.position - cam.position))
+        err_after = float(jnp.linalg.norm(refined.position - cam.position))
+        assert err_after < 0.7 * err_before
+
+
+class TestDecayAndStamp:
+    def test_decay_fades_to_unobserved(self):
+        cfg = MapperConfig(dims=(16, 16, 16), voxel_size=0.05, origin=(0, 0, 0))
+        mapper = Mapper(cfg)
+        pts = jnp.asarray([[0.4, 0.4, 0.4]], jnp.float32)
+        mapper.integrate(LidarObservation(points=pts, pose=Pose.identity()),
+                         carve=False)
+        assert float(jnp.sum(mapper.grid.weight)) > 0
+        for _ in range(10):
+            mapper.decay(0.3)
+        assert float(jnp.sum(mapper.grid.weight)) == 0.0
+        np.testing.assert_allclose(
+            float(jnp.min(mapper.grid.tsdf)), cfg.truncation, rtol=1e-6
+        )
+
+    def test_stamp_obstacles(self):
+        from curobo_tpu.geom import types as gt, world as wm
+
+        cfg = MapperConfig(dims=(32, 32, 32), voxel_size=0.05,
+                           origin=(-0.8, -0.8, -0.8))
+        mapper = Mapper(cfg)
+        world = wm.compile_scene(gt.Scene().add(
+            gt.SphereObstacle(name="b", pose=[0, 0, 0, 1, 0, 0, 0], radius=0.2)))
+        mapper.stamp(world)
+        esdf = np.asarray(mapper.compute_esdf())
+
+        def idx(p):
+            return tuple(int(round((p[i] - cfg.origin[i]) / cfg.voxel_size))
+                         for i in range(3))
+
+        assert esdf[idx([0, 0, 0])] < 0  # inside the sphere
+        np.testing.assert_allclose(esdf[idx([0.5, 0, 0])], 0.3, atol=0.08)
+
+
+class TestCheckpointValidation:
+    def test_voxel_size_mismatch_raises(self, tmp_path):
+        cfg = MapperConfig(dims=(8, 8, 8), voxel_size=0.05, origin=(0, 0, 0))
+        m = Mapper(cfg)
+        p = str(tmp_path / "m.npz")
+        m.save(p)
+        m2 = Mapper(MapperConfig(dims=(8, 8, 8), voxel_size=0.04, origin=(0, 0, 0)))
+        with pytest.raises(ValueError, match="voxel_size"):
+            m2.load(p)
+
+    def test_rgb_roundtrip(self, tmp_path):
+        cfg = MapperConfig(dims=(8, 8, 8), voxel_size=0.05, origin=(0, 0, 0),
+                           rgb_channels=True)
+        m = Mapper(cfg)
+        p = str(tmp_path / "m.npz")
+        m.save(p)
+        m2 = Mapper(cfg)
+        m2.load(p)
+        assert m2.grid.rgb is not None
