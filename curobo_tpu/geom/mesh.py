@@ -195,3 +195,34 @@ def mesh_to_sdf_grid(
     sdf = np.where(inside, -dist, dist).reshape(tuple(shape)).astype(np.float32)
     origin = (lo + cell / 2.0).astype(np.float32)
     return sdf, origin, cell
+
+
+def points_to_sdf_grid(
+    o: "gt.PointCloudObstacle", padding: float = 0.05
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Bake a point cloud into (sdf_grid (X,Y,Z), origin (3,), cell_size).
+
+    Parity: the reference voxelizes point clouds into the collision world
+    (`curobo/_src/geom/types.py:736`). Points are treated as surface
+    samples of radius ``point_radius``: sdf = EDT(occupied voxels) -
+    point_radius, so anything within the radius of a point is inside.
+    """
+    from scipy.ndimage import distance_transform_edt
+
+    pts = np.asarray(o.points, dtype=np.float64)
+    if pts.ndim != 2 or pts.shape[-1] != 3 or len(pts) == 0:
+        raise ValueError(f"point cloud {o.name!r} needs (N, 3) points")
+    cell = float(o.voxel_size)
+    pad = padding + o.point_radius
+    lo = pts.min(axis=0) - pad
+    hi = pts.max(axis=0) + pad
+    shape = np.maximum(np.ceil((hi - lo) / cell).astype(int) + 1, 2)
+    idx = np.clip(
+        np.round((pts - lo) / cell).astype(int), 0, shape - 1
+    )
+    occ = np.zeros(tuple(shape), dtype=bool)
+    occ[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    dist = distance_transform_edt(~occ, sampling=cell)
+    sdf = (dist - o.point_radius).astype(np.float32)
+    origin = (lo + cell / 2.0).astype(np.float32)
+    return sdf, origin, cell

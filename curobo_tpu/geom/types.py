@@ -70,8 +70,13 @@ class VoxelGridObstacle(Obstacle):
 
 @dataclasses.dataclass
 class PointCloudObstacle(Obstacle):
-    points: Optional[np.ndarray] = None  # (N, 3)
+    """Point cloud voxelized into a dense SDF grid at compile time
+    (parity: reference point-cloud-to-voxel world entry,
+    `curobo/_src/geom/types.py:736`)."""
+
+    points: Optional[np.ndarray] = None  # (N, 3), obstacle-local frame
     point_radius: float = 0.01
+    voxel_size: float = 0.02  # bake resolution
 
 
 @dataclasses.dataclass

@@ -297,6 +297,19 @@ def compile_scene(
                 jnp.asarray(float(o.enabled), dtype), o.name,
             )
         )
+    # Point clouds bake to voxel SDFs too (reference `geom/types.py:736`).
+    for o in scene.by_type(gt.PointCloudObstacle):
+        from curobo_tpu.geom.mesh import points_to_sdf_grid
+
+        sdf_grid, origin, cell = points_to_sdf_grid(o)
+        R, p = _pose_Rp(o.pose)
+        grids.append(
+            VoxelGridData(
+                jnp.asarray(R, dtype), jnp.asarray(p, dtype), jnp.asarray(origin, dtype),
+                jnp.asarray(cell, dtype), jnp.asarray(sdf_grid, dtype),
+                jnp.asarray(float(o.enabled), dtype), o.name,
+            )
+        )
 
     return WorldData(cuboids, spheres, capsules, cylinders, tuple(grids))
 

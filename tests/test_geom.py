@@ -251,3 +251,36 @@ class TestSelfCollision:
         assert d.shape == (4,)
         g = jax.grad(lambda s: jnp.sum(self_collision_cost(sc, s)))(spheres)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestPointCloudBake:
+    def test_pointcloud_obstacle_in_world(self):
+        """PointCloud -> voxel SDF wiring (reference geom/types.py:736)."""
+        import numpy as np
+
+        from curobo_tpu.geom import types as gt
+        from curobo_tpu.geom import world as wm
+
+        # dense point sampling of a 0.2-cube surface centred at origin
+        rng = np.random.RandomState(0)
+        face = rng.uniform(-0.1, 0.1, (2000, 2))
+        side = rng.randint(0, 6, 2000)
+        pts = np.zeros((2000, 3))
+        for i in range(2000):
+            ax, sgn = side[i] % 3, 1.0 if side[i] < 3 else -1.0
+            others = [a for a in range(3) if a != ax]
+            pts[i, ax] = 0.1 * sgn
+            pts[i, others[0]], pts[i, others[1]] = face[i]
+        pc = gt.PointCloudObstacle(
+            name="cloud", pose=[0.5, 0.0, 0.3, 1, 0, 0, 0],
+            points=pts, point_radius=0.01, voxel_size=0.02,
+        )
+        world = wm.compile_scene(gt.Scene().add(pc))
+        import jax.numpy as jnp
+
+        d_center = float(wm.sphere_sdf(world, jnp.asarray([[0.5, 0.0, 0.3]]))[0])
+        d_surf = float(wm.sphere_sdf(world, jnp.asarray([[0.6, 0.0, 0.3]]))[0])
+        d_far = float(wm.sphere_sdf(world, jnp.asarray([[1.2, 0.0, 0.3]]))[0])
+        assert abs(d_surf) < 0.03        # on the cloud surface
+        assert d_far > 0.3               # far outside
+        assert d_center < d_surf + 0.11  # interior not farther than surface+box
