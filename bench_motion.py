@@ -1,0 +1,149 @@
+"""Motion-generation benchmark: per-problem plan latency + success on the
+fixed-seed Franka suite (tabletop / shelf / cubby pick scenes).
+
+Mirrors the reference benchmark protocol
+(`/root/reference/benchmark/motion_plan_benchmark.py:333`, metrics per
+`curobo/_src/util/benchmark_metrics.py:80,121`): solve each problem
+individually (B=1), report success %, plan-time mean/median/p75/p98,
+position error, path length, motion time, jerk.
+
+Baseline (BASELINE.md): cuRobo 99.73 % success, p98 plan 81 ms, mean 38 ms
+on RTX 6000 Ada over the robometrics datasets.
+
+Run on the TPU: python bench_motion.py [--limit N] [--json-out PATH]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+SUITE = os.path.join(
+    os.path.dirname(__file__), "curobo_tpu", "content", "problems",
+    "franka_motion.json",
+)
+
+
+def build_world(spec, capacity):
+    from curobo_tpu.geom import types as gt
+    from curobo_tpu.geom import world as wm
+
+    scene = gt.Scene().add(*[gt.Cuboid(**o) for o in spec["cuboids"]])
+    return wm.compile_scene(scene, capacities={"cuboid": capacity})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limit", type=int, default=0, help="run only N problems")
+    ap.add_argument("--json-out", type=str, default="")
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from curobo_tpu.motion.planner import MotionPlanConfig, MotionPlanner
+    from curobo_tpu.robot.kinematics import Kinematics
+    from curobo_tpu.types.pose import Pose
+    from curobo_tpu.types.state import JointState
+
+    with open(SUITE) as f:
+        suite = json.load(f)
+    problems = suite["problems"]
+    if args.limit:
+        problems = problems[: args.limit]
+    cap = suite["cuboid_capacity"]
+
+    kin = Kinematics.from_robot_yaml(
+        os.path.join(os.path.dirname(__file__), "curobo_tpu", "content",
+                     "robots", suite["robot"])
+    )
+    planner = MotionPlanner(kin.params, MotionPlanConfig())
+
+    def run(prob, key):
+        world = build_world(prob["world"], cap)
+        goal = Pose(
+            jnp.asarray([prob["goal_pose"][:3]], jnp.float32),
+            jnp.asarray([prob["goal_pose"][3:]], jnp.float32),
+        )
+        start = JointState.from_position(
+            jnp.asarray([prob["q_start"]], jnp.float32), kin.params.joint_names
+        )
+        t0 = time.perf_counter()
+        res = planner.plan_pose(world, goal, start, key=key)
+        jax.block_until_ready(res.trajectory.position)
+        return res, time.perf_counter() - t0
+
+    # warmup: compile every shape/path once (kernels are capacity-envelope
+    # keyed, so one world compiles for the whole suite)
+    for i in range(min(args.warmup, len(problems))):
+        run(problems[i], jax.random.PRNGKey(1000 + i))
+
+    rows = []
+    for i, prob in enumerate(problems):
+        res, dt_wall = run(prob, jax.random.PRNGKey(i))
+        q = np.asarray(res.solver_trajectory.position[0])
+        dq = np.abs(np.diff(q, axis=0)).sum()
+        jerk = (
+            float(np.max(np.abs(np.asarray(res.solver_trajectory.jerk[0]))))
+            if res.solver_trajectory.jerk is not None
+            else 0.0
+        )
+        rows.append(
+            dict(
+                scenario=prob["scenario"],
+                success=bool(res.success[0]),
+                plan_time=dt_wall,
+                position_error=float(res.position_error[0]),
+                rotation_error=float(res.rotation_error[0]),
+                motion_time=float(res.motion_time[0]),
+                path_length=float(dq),
+                max_jerk=jerk,
+            )
+        )
+
+    ok = [r for r in rows if r["success"]]
+    t = np.asarray([r["plan_time"] for r in rows])
+    out = dict(
+        n_problems=len(rows),
+        success_rate=len(ok) / max(len(rows), 1),
+        plan_time_mean_ms=float(np.mean(t) * 1e3),
+        plan_time_median_ms=float(np.median(t) * 1e3),
+        plan_time_p75_ms=float(np.percentile(t, 75) * 1e3),
+        plan_time_p98_ms=float(np.percentile(t, 98) * 1e3),
+        position_error_mm_mean=float(
+            np.mean([r["position_error"] for r in ok]) * 1e3
+        )
+        if ok
+        else -1.0,
+        position_error_mm_p98=float(
+            np.percentile([r["position_error"] for r in ok], 98) * 1e3
+        )
+        if ok
+        else -1.0,
+        motion_time_mean_s=float(np.mean([r["motion_time"] for r in ok]))
+        if ok
+        else -1.0,
+        path_length_mean=float(np.mean([r["path_length"] for r in ok]))
+        if ok
+        else -1.0,
+        per_scenario={
+            fam: dict(
+                n=len([r for r in rows if r["scenario"] == fam]),
+                success=float(
+                    np.mean([r["success"] for r in rows if r["scenario"] == fam])
+                ),
+            )
+            for fam in sorted({r["scenario"] for r in rows})
+        },
+    )
+    print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(dict(summary=out, rows=rows), f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

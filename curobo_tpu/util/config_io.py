@@ -44,7 +44,22 @@ def dataclass_from_dict(cls_or_default, d: dict):
         if k not in fields:
             raise ValueError(f"unknown config key {k!r} for {cls.__name__}")
         default = getattr(base, k)
-        if dataclasses.is_dataclass(default) and isinstance(v, dict):
+        if default is None and isinstance(v, dict):
+            # Optional[SomeConfig] field left at None: resolve the target
+            # dataclass from the Optional[...] annotation
+            import typing
+
+            hints = typing.get_type_hints(cls)
+            args = [
+                t for t in typing.get_args(hints.get(k))
+                if dataclasses.is_dataclass(t)
+            ]
+            if not args:
+                raise ValueError(
+                    f"cannot build dict value for non-dataclass field {k!r}"
+                )
+            kwargs[k] = dataclass_from_dict(args[0], v)
+        elif dataclasses.is_dataclass(default) and isinstance(v, dict):
             kwargs[k] = dataclass_from_dict(default, v)
         elif isinstance(v, list):
             kwargs[k] = tuple(
