@@ -38,6 +38,7 @@ from curobo_tpu.solver.trajopt import TrajOptConfig, TrajOptResult, TrajOptSolve
 from curobo_tpu.solver.mpc import MPCConfig, MPCResult, MPCSolver, MPCState
 
 # Planning
+from curobo_tpu.motion.batch_planner import BatchMotionPlanner
 from curobo_tpu.motion.planner import MotionPlanConfig, MotionPlanner, MotionPlanResult
 from curobo_tpu.graph.prm import PRMConfig, PRMGraphPlanner
 

@@ -23,6 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: interpret-mode Pallas kernels cost minutes
+# of XLA compile on CPU; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/curobo_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -14,6 +14,17 @@ EXAMPLES = [
     "motion_planning.py",
     "model_predictive_control.py",
     "perception_to_planning.py",
+    "forward_kinematics.py",
+    "humanoid_retargeting.py",
+    "volumetric_mapping.py",
+    "attached_object.py",
+    "multi_env_batch.py",
+    "whole_body_balance_ik.py",
+    "build_robot_model.py",
+    "custom_optimization.py",
+    "lidar_volumetric_mapping.py",
+    "robot_pose_calibration.py",
+    "sphere_fit_comparison.py",
 ]
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
