@@ -184,15 +184,25 @@ def mesh_to_sdf_grid(
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
 
-    tri = verts[faces]
-    # Chunk over points; min over triangles.
-    dist = np.empty(len(pts), dtype=np.float64)
-    for i0 in range(0, len(pts), 1024):
-        dist[i0 : i0 + 1024] = point_triangle_distance(pts[i0 : i0 + 1024], tri).min(
-            axis=-1
-        )
-    inside = _inside_mask(pts, verts, faces)
-    sdf = np.where(inside, -dist, dist).reshape(tuple(shape)).astype(np.float32)
+    from curobo_tpu.native import native_available
+
+    if native_available():
+        # native path: OpenMP BVH closest-point + parity raycast
+        # (csrc/mesh_sdf.cpp) — the host-side analog of the reference's
+        # Warp BVH queries; orders of magnitude faster than the numpy path
+        from curobo_tpu.native import mesh_sdf as native_mesh_sdf
+
+        sdf = native_mesh_sdf(verts, faces, pts).reshape(tuple(shape))
+    else:
+        tri = verts[faces]
+        # Chunk over points; min over triangles.
+        dist = np.empty(len(pts), dtype=np.float64)
+        for i0 in range(0, len(pts), 1024):
+            dist[i0 : i0 + 1024] = point_triangle_distance(
+                pts[i0 : i0 + 1024], tri
+            ).min(axis=-1)
+        inside = _inside_mask(pts, verts, faces)
+        sdf = np.where(inside, -dist, dist).reshape(tuple(shape)).astype(np.float32)
     origin = (lo + cell / 2.0).astype(np.float32)
     return sdf, origin, cell
 
