@@ -9,7 +9,8 @@ motion-gen 99.73 % success / p98 81 ms (RTX 6000 Ada).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline = reference_time / our_time (>1 means faster than reference);
 secondary suites ride along as extra keys. Env toggles:
-BENCH_SKIP_G1=1 / BENCH_SKIP_MOTION=1 skip the secondary suites,
+BENCH_SKIP_G1=1 / BENCH_SKIP_MPC=1 / BENCH_SKIP_MOTION=1 skip the
+secondary suites,
 BENCH_MOTION_LIMIT=N caps the motion problem count (default 30).
 """
 
@@ -178,6 +179,56 @@ def bench_g1_cfik():
     )
 
 
+def bench_mpc():
+    """Reactive MPC tick rate (Franka, moving obstacle + goal) vs the 50 Hz
+    real-time budget (BASELINE config 4). Ticks are the steady-state
+    warm-start path; the moving obstacle exercises the world-as-input
+    kernel (no recompiles between ticks)."""
+    import jax
+    import jax.numpy as jnp
+
+    import curobo_tpu as ct
+
+    kin = ct.Kinematics.from_robot_yaml("curobo_tpu/content/robots/franka.yml")
+    scene = ct.Scene().add(
+        ct.Cuboid(name="table", pose=[0.4, 0.0, -0.1, 1, 0, 0, 0], dims=[1.2, 1.2, 0.2]),
+        ct.SphereObstacle(name="drone", pose=[0.5, 0.4, 0.6, 1, 0, 0, 0], radius=0.08),
+    )
+    world = ct.compile_scene(scene)
+    solver = ct.MPCSolver(kin.params)
+    q0 = kin.params.retract_config[None]
+    st = ct.compute_kinematics(kin.params, q0 + 0.3)
+    goal = solver.make_goal(
+        ct.Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
+    )
+    state = solver.setup(q0)
+    js = ct.JointState.from_position(q0, kin.params.joint_names)
+    times, n_feas = [], 0
+    n_ticks = 40
+    for tick in range(n_ticks):
+        world = world.update_obstacle_pose(
+            "drone", [0.5, 0.4 - 0.004 * tick, 0.6], [1, 0, 0, 0]
+        )
+        t0 = time.perf_counter()
+        res, state = solver.step(world, goal, state, js)
+        res.command.position.block_until_ready()
+        times.append(time.perf_counter() - t0)
+        n_feas += int(res.feasible[0])
+        js = ct.JointState(
+            position=res.command.position, velocity=res.command.velocity,
+            joint_names=js.joint_names,
+        )
+    steady = np.asarray(times[5:])  # skip compile/cold-start ticks
+    tick_ms = float(np.min(steady) * 1000.0)
+    return dict(
+        tick_ms=round(tick_ms, 2),
+        tick_ms_median=round(float(np.median(steady) * 1000.0), 2),
+        hz=round(1000.0 / tick_ms, 1),
+        feasible_rate=round(n_feas / n_ticks, 3),
+        vs_baseline=round((1000.0 / tick_ms) / 50.0, 3),  # 50 Hz budget
+    )
+
+
 def bench_motion(limit):
     """Quick motion-gen suite (fixed-seed Franka problems); the full run is
     bench_motion.py."""
@@ -217,6 +268,11 @@ def main():
             out["g1_cfik"] = bench_g1_cfik()
         except Exception as e:  # secondary suite must not kill the metric
             out["g1_cfik"] = {"error": str(e)[:200]}
+    if not os.environ.get("BENCH_SKIP_MPC"):
+        try:
+            out["franka_mpc"] = bench_mpc()
+        except Exception as e:
+            out["franka_mpc"] = {"error": str(e)[:200]}
     if not os.environ.get("BENCH_SKIP_MOTION"):
         try:
             out["franka_motion_gen"] = bench_motion(

@@ -105,3 +105,45 @@ class TestG1IK:
         # whole-body IK on 4 simultaneous tool goals: should get close
         assert float(jnp.min(res.position_error)) < 0.05
         assert np.isfinite(np.asarray(res.cost)).all()
+
+    def test_task_config_success_rate(self, g1):
+        """Strong success assertion on the shipped G1 task config
+        (CPU-sized iteration counts; the full-size run is bench.py's
+        g1_cfik suite vs the reference 526.87 ms / 98.4 % row)."""
+        import dataclasses
+
+        from curobo_tpu.cost import support_polygon as sp_mod
+        from curobo_tpu.opt.lbfgs import LBFGSConfig
+        from curobo_tpu.solver.ik import IKConfig, IKSolver
+
+        p = g1.params
+        cfg = IKConfig.from_yaml(
+            os.path.join(CONTENT, "..", "tasks", "ik_g1.yml")
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            n_seeds=6,
+            lbfgs=dataclasses.replace(cfg.lbfgs, n_iters=30),
+            rollout=sp_mod.configure_rollout(
+                cfg.rollout, p, np.asarray(p.retract_config)
+            ),
+        )
+        world = wm.empty_world()
+        rng = np.random.RandomState(5)
+        B = 3
+        body = (np.arange(p.n_dof) >= 6).astype(np.float32)
+        q_goal = jnp.asarray(
+            p.retract_config + rng.uniform(-0.2, 0.2, (B, p.n_dof)) * body,
+            dtype=jnp.float32,
+        )
+        st = compute_kinematics(p, q_goal)
+        goals = Pose(st.tool_pose.position, st.tool_pose.quaternion)  # (B, 4)
+        solver = IKSolver(p, cfg)
+        res = solver.solve_pose(world, goals, seed_state=p.retract_config)
+        n_ok = int(jnp.sum(res.success))
+        # every solve must meet the config's 10 mm / 0.1 rad tolerances
+        assert n_ok == B, (
+            f"G1 whole-body IK success {n_ok}/{B}; "
+            f"pos_err={np.asarray(res.position_error)}"
+        )
+        assert float(jnp.max(res.position_error)) < cfg.position_threshold
