@@ -1,23 +1,40 @@
 """Device-mesh runtime: shard the problems/seeds batch over TPU chips.
 
 This layer is *new design* relative to the reference (which is single-GPU,
-SURVEY §2.3): the flattened problems x seeds/particles axis is sharded over
-a `jax.sharding.Mesh`; horizon/dof stay local per device. Cross-seed
-reductions (topk/argmin, MPPI softmax normalization, line-search select)
-happen inside each problem's shard-local block, so the solve is
-embarrassingly parallel over problems and XLA inserts collectives only for
-global metrics (success counts) — those ride ICI via psum.
+SURVEY §2.3). Two sharding modes:
+
+1. **Problems-axis data parallelism** (`shard_problems` + jit): the
+   flattened problems axis is sharded over a 1-D `jax.sharding.Mesh`;
+   horizon/dof stay local per device. Cross-seed reductions stay
+   shard-local, so the solve is embarrassingly parallel and XLA inserts
+   collectives only for global metrics.
+
+2. **2-D problems x seeds parallelism** (`solve_ik_sharded` via
+   `shard_map`): problems shard over the outer `dp` axis, seeds over the
+   inner `sp` axis. Each device solves its (B/dp, S/sp) block; the
+   best-over-seeds selection crosses devices as an explicit
+   `jax.lax.all_gather` over `sp` — an ICI collective. Use this when one
+   problem's seed fan-out alone saturates a chip (humanoid whole-body IK).
+
+Multi-host: build the mesh from ALL processes' devices
+(`make_mesh(None)` uses `jax.devices()`, which is global) with `dp`
+OUTERMOST so the problems axis — which needs no communication — is the
+one that crosses DCN, while the seed reduction's all_gather stays on
+intra-slice ICI. Per-host inputs become global arrays with
+`jax.make_array_from_process_local_data` (`global_problems`).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "dp"
+SEED_AXIS = "sp"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = BATCH_AXIS) -> Mesh:
@@ -28,6 +45,25 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = BATCH_AXIS) -> M
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh_2d(
+    dp: int,
+    sp: int,
+    dp_axis: str = BATCH_AXIS,
+    sp_axis: str = SEED_AXIS,
+) -> Mesh:
+    """2-D (problems, seeds) mesh over the first dp*sp devices.
+
+    dp is the OUTER axis: on multi-host topologies outer-axis neighbors
+    are the far ones (DCN), and the problems axis never communicates —
+    the seed all_gather runs over the inner sp axis (ICI).
+    """
+    devs = jax.devices()
+    if dp * sp > len(devs):
+        raise ValueError(f"mesh {dp}x{sp} needs {dp * sp} devices, have {len(devs)}")
+    grid = np.asarray(devs[: dp * sp]).reshape(dp, sp)
+    return Mesh(grid, (dp_axis, sp_axis))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:
     """Shard the leading (problems) axis; everything else replicated."""
     return NamedSharding(mesh, P(axis_name))
@@ -35,6 +71,19 @@ def batch_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _leading_batch_spec(tree, batch: int, axis_name: str):
+    """Per-leaf PartitionSpec: shard axis 0 where it equals the problem
+    batch (and divides evenly), replicate everything else."""
+
+    def spec(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if getattr(x, "ndim", 0) > 0 and x.shape[0] == batch:
+            return P(axis_name)
+        return P()
+
+    return jax.tree.map(spec, tree)
 
 
 def shard_problems(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
@@ -55,3 +104,118 @@ def shard_problems(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
 def replicate(tree, mesh: Mesh):
     repl = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), repl), tree)
+
+
+def global_problems(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Multi-host input assembly: each process passes its LOCAL slice of
+    the problems batch; the result is a global array sharded over the
+    mesh. On a single process this is equivalent to `shard_problems`."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(jnp.asarray(x), replicated(mesh))
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(place, tree)
+
+
+# ---------------------------------------------------------------------------
+# 2-D problems x seeds sharding (shard_map + explicit seed collective)
+# ---------------------------------------------------------------------------
+
+_BIG = 1.0e6
+
+
+def solve_ik_sharded(
+    solver,
+    world,
+    goal,
+    seeds: jnp.ndarray,  # (B, S, D)
+    key: jax.Array,
+    mesh: Mesh,
+    dp_axis: str = BATCH_AXIS,
+    sp_axis: str = SEED_AXIS,
+):
+    """IK solve with problems sharded over `dp` and seeds over `sp`.
+
+    Each mesh block runs the full solve on its (B/dp, S/sp) seed slice;
+    per-block winners are exchanged with `jax.lax.all_gather` over the
+    seed axis and re-scored with the solver's selection rule, so the
+    returned IKResult matches an unsharded solve over the same seeds
+    (bitwise for the deterministic gradient path; the MPPI stage draws an
+    independent stream per seed block).
+
+    Returns an IKResult whose leaves are sharded over dp and replicated
+    over sp. Requires B % dp == 0 and S % sp == 0.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from curobo_tpu.solver.ik import IKResult
+
+    B, S, D = seeds.shape
+    dp = mesh.shape[dp_axis]
+    sp = mesh.shape[sp_axis]
+    if B % dp or S % sp:
+        raise ValueError(f"batch {B} / seeds {S} must divide mesh {dp}x{sp}")
+
+    goal_spec = _leading_batch_spec(goal, B, dp_axis)
+    world_spec = jax.tree.map(lambda _: P(), world)
+
+    def block(world_b, goal_b, seeds_b, key_b):
+        # decorrelate the per-block MPPI stream from its seed-shard index
+        idx = jax.lax.axis_index(sp_axis)
+        res = solver._solve_impl(world_b, goal_b, seeds_b, jax.random.fold_in(key_b, idx))
+        score = jnp.where(res.success, res.cost, _BIG + res.position_error)
+        score_all = jax.lax.all_gather(score, sp_axis)  # (sp, b)
+        best = jnp.argmin(score_all, axis=0)  # (b,)
+
+        def pick(x):
+            xa = jax.lax.all_gather(x, sp_axis)  # (sp, b, ...)
+            return jnp.take_along_axis(
+                xa, best.reshape((1,) + best.shape + (1,) * (x.ndim - 1)), axis=0
+            )[0]
+
+        return IKResult(
+            solution=pick(res.solution),
+            success=pick(res.success),
+            position_error=pick(res.position_error),
+            rotation_error=pick(res.rotation_error),
+            cost=pick(res.cost),
+            # per-seed views keep their seed shards (S/sp per block)
+            seed_solutions=res.seed_solutions,
+            seed_success=res.seed_success,
+        )
+
+    out_specs = IKResult(
+        solution=P(dp_axis),
+        success=P(dp_axis),
+        position_error=P(dp_axis),
+        rotation_error=P(dp_axis),
+        cost=P(dp_axis),
+        seed_solutions=P(dp_axis, sp_axis),
+        seed_success=P(dp_axis, sp_axis),
+    )
+    import inspect
+
+    # disable replication/varying-type checking: the solver's lax loops
+    # initialize carries from literals, which the VMA checker rejects
+    # inside shard_map even though the computation is shard-correct
+    params = inspect.signature(shard_map).parameters
+    kw = {}
+    if "check_vma" in params:
+        kw["check_vma"] = False
+    elif "check_rep" in params:
+        kw["check_rep"] = False
+    fn = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(world_spec, goal_spec, P(dp_axis, sp_axis), P()),
+        out_specs=out_specs,
+        **kw,
+    )
+    return jax.jit(fn)(world, goal, seeds, key)
