@@ -197,6 +197,9 @@ def compute_kinematics(
     Parity: reference `Kinematics.compute_kinematics`
     (`curobo/_src/robot/kinematics/kinematics.py:172`).
     """
+    from curobo_tpu.util.checks import check_joint_config
+
+    q = check_joint_config("q", q, params.n_dof)
     link_rot, link_pos = link_transforms(params, q)
     ti = np.asarray(params.tool_frame_idx, dtype=np.int32)
     tool_R = link_rot[..., ti, :, :]

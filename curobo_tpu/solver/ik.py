@@ -286,6 +286,11 @@ class IKSolver:
 
         Parity: reference `IKSolver.solve_pose` (`solver_ik.py:631`).
         """
+        from curobo_tpu.util.checks import check_joint_config, check_pose_batch
+
+        check_pose_batch("goal_pose", goal_pose)
+        if seed_state is not None:
+            seed_state = check_joint_config("seed_state", seed_state, self.params.n_dof)
         goal = Goal.from_pose(goal_pose)
         B = goal.batch
         seeds = self.generate_seeds(B, seed_state)

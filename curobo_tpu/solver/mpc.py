@@ -300,6 +300,9 @@ class MPCSolver:
         joint_state: JointState,  # measured (B, D)
     ) -> Tuple[MPCResult, MPCState]:
         """One control tick. Parity: `optimize_action_sequence` (:581)."""
+        from curobo_tpu.util.checks import check_joint_config
+
+        check_joint_config("joint_state.position", joint_state.position, self.params.n_dof)
         qd = (
             joint_state.velocity
             if joint_state.velocity is not None

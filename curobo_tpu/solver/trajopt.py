@@ -289,6 +289,11 @@ class TrajOptSolver:
     ) -> TrajOptResult:
         """Plan trajectories from q_start to pose goals, seeded by IK results
         (and optionally by graph-planner waypoint paths)."""
+        from curobo_tpu.util.checks import check_joint_config, check_pose_batch
+
+        check_pose_batch("goal_pose", goal_pose)
+        q_start = check_joint_config("q_start", q_start, self.params.n_dof)
+        seed_q = check_joint_config("seed_q", seed_q, self.params.n_dof)
         goal = Goal.from_pose(goal_pose)
         return self._solve(world, goal, q_start, seed_q, key, seed_paths)
 
