@@ -21,6 +21,8 @@ from curobo_tpu.geom import types as gt
 from curobo_tpu.geom.mesh import mesh_to_sdf_grid
 from curobo_tpu.geom.sdf import sample_voxel_grid
 
+_BIG_DIAG = 1.0e6  # masks the self-pair in nearest-neighbor reductions
+
 
 @dataclasses.dataclass(frozen=True)
 class SphereFitConfig:
@@ -31,6 +33,7 @@ class SphereFitConfig:
     outside_weight: float = 10.0  # spheres must stay inside the mesh
     coverage_weight: float = 1.0  # surface samples should be inside a sphere
     overlap_weight: float = 0.1  # discourage redundant spheres
+    tangency_weight: float = 0.05  # neighbors should touch (no gaps)
     min_radius: float = 0.005
 
 
@@ -91,10 +94,17 @@ def fit_spheres_to_mesh(
         contained = jnp.maximum(r[:, None] - (cc + r[None]), 0.0)
         contained = contained * (1.0 - jnp.eye(contained.shape[0], dtype=contained.dtype))
         l_ov = jnp.sum(contained**2) / 2.0
+        # tangency (MorphIt): each sphere's nearest neighbor should touch
+        # it — penalize the gap to the closest other sphere's surface
+        K = cc.shape[0]
+        gap = cc - (r[:, None] + r[None])
+        gap = gap + _BIG_DIAG * jnp.eye(K, dtype=gap.dtype)
+        l_tan = jnp.sum(jnp.maximum(jnp.min(gap, axis=-1), 0.0) ** 2)
         return (
             cfg.outside_weight * l_out
             + cfg.coverage_weight * l_cov
             + cfg.overlap_weight * l_ov
+            + cfg.tangency_weight * l_tan
         )
 
     params = (jnp.asarray(centers0), jnp.asarray(radii0))
