@@ -85,7 +85,8 @@ def main():
     for i, prob in enumerate(problems):
         res, dt_wall = run(prob, jax.random.PRNGKey(i))
         q = np.asarray(res.solver_trajectory.position[0])
-        dq = np.abs(np.diff(q, axis=0)).sum()
+        # robometrics path length: sum over steps of the joint-space L2 step
+        dq = float(np.linalg.norm(np.diff(q, axis=0), axis=-1).sum())
         jerk = (
             float(np.max(np.abs(np.asarray(res.solver_trajectory.jerk[0]))))
             if res.solver_trajectory.jerk is not None
