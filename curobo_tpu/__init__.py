@@ -19,6 +19,7 @@ from curobo_tpu.robot.kinematics import Kinematics, KinematicsState, compute_kin
 from curobo_tpu.robot.model import RobotModelConfig, build_kinematics_params
 from curobo_tpu.robot.params import KinematicsParams, JointLimits
 from curobo_tpu.robot.dynamics import Dynamics, compute_inverse_dynamics
+from curobo_tpu.robot.debugger import RobotDebugger, RobotReport
 
 # Geometry / world
 from curobo_tpu.geom.types import (
