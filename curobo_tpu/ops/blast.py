@@ -345,7 +345,8 @@ def self_collision_blast(params: KinematicsParams, sx, sy, sz, activation: float
 class BlastRollout:
     """Drop-in fast path for single-config (IK) objectives.
 
-    Only supports: single goal (G=1), single tool frame, cuboid + sphere +
+    Only supports: single goal (G=1), any number of tool frames (summed
+    pose cost, max-ed errors — generic-path semantics), cuboid + sphere +
     capsule + cylinder + voxel worlds (same types as WorldData). Falls back
     to the generic path for anything else (solver checks `supports`).
     """
@@ -356,8 +357,7 @@ class BlastRollout:
     @staticmethod
     def supports(params: KinematicsParams, goal: Goal, cfg=None) -> bool:
         return (
-            params.n_tools == 1
-            and goal.goal_pos.shape[-3] == 1
+            goal.goal_pos.shape[-3] == 1
             # humanoid balance term lives only in the generic rollout
             and (cfg is None or cfg.support_polygon is None)
             # per-tool ToolPoseCriteria live only in the generic rollout
@@ -379,56 +379,72 @@ class BlastRollout:
         N = int(np.prod(lead)) if lead else 1
         qT = jnp.moveaxis(q.reshape((N, D)), -1, 0)  # (D, N)
 
-        gp = goal.goal_pos[..., 0, 0, :]  # (B..., 3)
-        gq = goal.goal_quat[..., 0, 0, :]
-        gp = jnp.broadcast_to(gp, lead + (3,)).reshape(N, 3)
-        gq = jnp.broadcast_to(gq, lead + (4,)).reshape(N, 4)
-        gpx, gpy, gpz = gp[:, 0], gp[:, 1], gp[:, 2]
-        gqw, gqx, gqy, gqz = gq[:, 0], gq[:, 1], gq[:, 2], gq[:, 3]
-
         Rg, pg, sx, sy, sz = fk_blast(p, qT)
 
-        # ---- pose cost -------------------------------------------------
-        ti = p.tool_frame_idx[0]
-        tx, ty, tz = pg[ti]
-        dx, dy, dz = gpx - tx, gpy - ty, gpz - tz
-        if cfg.pose_cost.position_axis_weight is not None:
-            awx, awy, awz = cfg.pose_cost.position_axis_weight
-            dx, dy, dz = dx * awx, dy * awy, dz * awz
-        pos_err2 = dx * dx + dy * dy + dz * dz
+        # ---- pose cost (sum over tool frames; G=1 per `supports`) ------
+        # Generic-path semantics (`cost/terms.py:pose_error`): weighted
+        # cost summed over tools, reported errors max-ed over tools.
+        cost = 0.0
+        pos_err2_max = None
+        rot_err2_max = None
+        for t in range(p.n_tools):
+            gp = goal.goal_pos[..., 0, t, :]  # (B..., 3)
+            gq = goal.goal_quat[..., 0, t, :]
+            gp = jnp.broadcast_to(gp, lead + (3,)).reshape(N, 3)
+            gq = jnp.broadcast_to(gq, lead + (4,)).reshape(N, 4)
+            gpx, gpy, gpz = gp[:, 0], gp[:, 1], gp[:, 2]
+            gqw, gqx, gqy, gqz = gq[:, 0], gq[:, 1], gq[:, 2], gq[:, 3]
 
-        tw, tx_, ty_, tz_ = _rot_to_quat_blast(Rg[ti])
-        # dq = conj(g) * t
-        rw = gqw * tw + gqx * tx_ + gqy * ty_ + gqz * tz_
-        rx = gqw * tx_ - gqx * tw - gqy * tz_ + gqz * ty_
-        ry = gqw * ty_ + gqx * tz_ - gqy * tw - gqz * tx_
-        rz = gqw * tz_ - gqx * ty_ + gqy * tx_ - gqz * tw
-        # canonical sign (w >= 0)
-        sgn = jnp.where(rw < 0, -1.0, 1.0)
-        rw, rx, ry, rz = rw * sgn, rx * sgn, ry * sgn, rz * sgn
-        s2 = rx * rx + ry * ry + rz * rz
-        small = s2 < 1e-12
-        s = jnp.sqrt(jnp.where(small, 1.0, s2))
-        angle = 2.0 * jnp.arctan2(s, rw)
-        scale = jnp.where(small, 2.0, angle / s)
-        ex, ey, ez = rx * scale, ry * scale, rz * scale
-        if cfg.pose_cost.rotation_axis_weight is not None:
-            awx, awy, awz = cfg.pose_cost.rotation_axis_weight
-            ex, ey, ez = ex * awx, ey * awy, ez * awz
-        rot_err2 = ex * ex + ey * ey + ez * ez
+            ti = p.tool_frame_idx[t]
+            tx, ty, tz = pg[ti]
+            dx, dy, dz = gpx - tx, gpy - ty, gpz - tz
+            if cfg.pose_cost.position_axis_weight is not None:
+                awx, awy, awz = cfg.pose_cost.position_axis_weight
+                dx, dy, dz = dx * awx, dy * awy, dz * awz
+            pos_err2 = dx * dx + dy * dy + dz * dz
 
-        if cfg.pose_cost.quadratic:
-            cost = (
-                cfg.pose_cost.position_weight * pos_err2
-                + cfg.pose_cost.rotation_weight * rot_err2
+            tw, tx_, ty_, tz_ = _rot_to_quat_blast(Rg[ti])
+            # dq = conj(g) * t
+            rw = gqw * tw + gqx * tx_ + gqy * ty_ + gqz * tz_
+            rx = gqw * tx_ - gqx * tw - gqy * tz_ + gqz * ty_
+            ry = gqw * ty_ + gqx * tz_ - gqy * tw - gqz * tx_
+            rz = gqw * tz_ - gqx * ty_ + gqy * tx_ - gqz * tw
+            # canonical sign (w >= 0)
+            sgn = jnp.where(rw < 0, -1.0, 1.0)
+            rw, rx, ry, rz = rw * sgn, rx * sgn, ry * sgn, rz * sgn
+            s2 = rx * rx + ry * ry + rz * rz
+            small = s2 < 1e-12
+            s = jnp.sqrt(jnp.where(small, 1.0, s2))
+            angle = 2.0 * jnp.arctan2(s, rw)
+            scale = jnp.where(small, 2.0, angle / s)
+            ex, ey, ez = rx * scale, ry * scale, rz * scale
+            if cfg.pose_cost.rotation_axis_weight is not None:
+                awx, awy, awz = cfg.pose_cost.rotation_axis_weight
+                ex, ey, ez = ex * awx, ey * awy, ez * awz
+            rot_err2 = ex * ex + ey * ey + ez * ez
+
+            if cfg.pose_cost.quadratic:
+                cost = cost + (
+                    cfg.pose_cost.position_weight * pos_err2
+                    + cfg.pose_cost.rotation_weight * rot_err2
+                )
+            else:
+                cost = cost + cfg.pose_cost.position_weight * jnp.sqrt(
+                    jnp.maximum(pos_err2, 1e-16)
+                ) + cfg.pose_cost.rotation_weight * jnp.sqrt(
+                    jnp.maximum(rot_err2, 1e-16)
+                )
+            pos_err2_max = (
+                pos_err2 if pos_err2_max is None
+                else jnp.maximum(pos_err2_max, pos_err2)
             )
-        else:
-            cost = cfg.pose_cost.position_weight * jnp.sqrt(
-                jnp.maximum(pos_err2, 1e-16)
-            ) + cfg.pose_cost.rotation_weight * jnp.sqrt(jnp.maximum(rot_err2, 1e-16))
+            rot_err2_max = (
+                rot_err2 if rot_err2_max is None
+                else jnp.maximum(rot_err2_max, rot_err2)
+            )
 
-        pos_err = jnp.sqrt(jnp.maximum(pos_err2, 1e-16))
-        rot_err = jnp.sqrt(jnp.maximum(rot_err2, 1e-16))
+        pos_err = jnp.sqrt(jnp.maximum(pos_err2_max, 1e-16))
+        rot_err = jnp.sqrt(jnp.maximum(rot_err2_max, 1e-16))
 
         # ---- cspace / null space --------------------------------------
         cspace_err = None

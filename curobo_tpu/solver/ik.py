@@ -303,11 +303,13 @@ class IKSolver:
                 world_is_supported,
             )
 
-            # the kernel bakes an isotropic quadratic pose objective; fall
-            # back to blast for axis weights / metric pose cost / cspace
-            # goals so all paths optimize the SAME objective.
+            # the kernel bakes an isotropic quadratic pose objective over
+            # ONE tool frame; fall back to blast (which handles multi-tool)
+            # for axis weights / metric pose cost / cspace goals so all
+            # paths optimize the SAME objective.
             if (
-                BlastRollout.supports(self.params, goal, self.cfg.rollout)
+                self.params.n_tools == 1
+                and BlastRollout.supports(self.params, goal, self.cfg.rollout)
                 and world_is_supported(world)
                 and rollout_config_is_supported(self.cfg.rollout)
                 and goal.goal_cspace is None

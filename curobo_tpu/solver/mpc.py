@@ -141,6 +141,9 @@ class MPCSolver:
 
         return (
             self.cfg.use_pallas
+            # the trajectory kernel tracks ONE tool frame; multi-tool goals
+            # route to the blast path, which sums pose cost over tools
+            and self.params.n_tools == 1
             and BlastRollout.supports(self.params, goal, self.cfg.rollout)
             and world_is_supported(world)
             and traj_config_is_supported(self.cfg.rollout)
