@@ -147,3 +147,60 @@ class TestG1IK:
             f"pos_err={np.asarray(res.position_error)}"
         )
         assert float(jnp.max(res.position_error)) < cfg.position_threshold
+
+
+class TestG1Retarget:
+    """The 29-dof retargeting variant (reference
+    `unitree_g1_29dof_retarget.yml`): fixed hands, 14 mocap tool frames,
+    6-dof virtual floating base spliced ahead of the pelvis."""
+
+    @pytest.fixture(scope="class")
+    def rt_kin(self):
+        return Kinematics.from_robot_yaml(
+            os.path.join(CONTENT, "unitree_g1_29dof_retarget.yml")
+        )
+
+    def test_model(self, rt_kin):
+        p = rt_kin.params
+        assert p.n_dof == 35  # 6 virtual base + 29 body
+        assert len(p.tool_frame_names) == 14
+        assert "pelvis" in p.tool_frame_names
+        assert "left_ankle_roll_link" in p.tool_frame_names
+        assert p.n_spheres >= 300
+        # floating base: pelvis tracks virtual-base translation exactly
+        q = p.retract_config
+        st0 = compute_kinematics(p, q)
+        st1 = compute_kinematics(p, q.at[2].add(0.5))
+        pel = p.tool_frame_names.index("pelvis")
+        np.testing.assert_allclose(
+            np.asarray(st1.tool_pose.position[pel] - st0.tool_pose.position[pel]),
+            [0.0, 0.0, 0.5],
+            atol=1e-6,
+        )
+
+    def test_retargets_frame(self, rt_kin):
+        from curobo_tpu.motion.retargeter import MotionRetargeter, RetargetConfig
+        from curobo_tpu.opt.lbfgs import LBFGSConfig
+
+        p = rt_kin.params
+        rt = MotionRetargeter(
+            p,
+            RetargetConfig(
+                tool_weights=((200.0, 20.0),),
+                lbfgs=LBFGSConfig(history=8, n_iters=25, max_step=0.2),
+            ),
+        )
+        q0 = p.retract_config
+        st = compute_kinematics(p, q0)
+        # target: shift the whole body pose set 10 cm forward (a pure
+        # floating-base translation — exactly representable)
+        goal = Pose(
+            st.tool_pose.position[None] + jnp.asarray([0.10, 0.0, 0.0]),
+            st.tool_pose.quaternion[None],
+        )
+        q, cost = rt.solve_frame(goal, q0[None])
+        st2 = compute_kinematics(p, q[0])
+        err = np.linalg.norm(
+            np.asarray(st2.tool_pose.position - goal.position[0]), axis=-1
+        )
+        assert float(err.max()) < 0.02, f"tool errors {err}"
