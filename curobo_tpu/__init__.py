@@ -48,6 +48,17 @@ from curobo_tpu.collision.robot_scene import AttachmentManager, RobotSceneCollis
 
 # Rollout / goal
 from curobo_tpu.rollout.robot_rollout import Goal, RobotRollout, RobotRolloutConfig
+from curobo_tpu.rollout.rosenbrock import RosenbrockConfig, RosenbrockRollout
+
+# Optimizer escape hatch + profiling facade (reference `curobo/optim.py`,
+# `curobo/profiling.py`)
+from curobo_tpu.opt.external import (
+    ScipyOptConfig,
+    TorchOptConfig,
+    scipy_optimize,
+    torch_optimize,
+)
+from curobo_tpu import profiling
 
 # Perception
 from curobo_tpu.perception.mapper import Mapper, MapperConfig

@@ -3,10 +3,12 @@ variants that complete the reference's optimizer menu.
 
 Parity: reference `optim_factory.py:37-61` registry (lbfgs,
 gradient_descent, line_search_gradient_descent, conjugate_gradient, lsr1,
-mppi, es) — the scipy/torch wrappers are out of scope by design (JAX owns
-the whole device path). Every optimizer here follows the same batched
-contract as `lbfgs_optimize`: cost_fn maps (..., D) -> (...,), may be
-called with one extra LEADING candidate axis, and the whole run is one jit.
+mppi, es) plus the host-side scipy escape hatch (`opt/external.py`,
+reference `optim/external/scipy_opt.py`); a torch wrapper is out of scope
+by design (JAX owns the whole device path). Every device optimizer here
+follows the same batched contract as `lbfgs_optimize`: cost_fn maps
+(..., D) -> (...,), may be called with one extra LEADING candidate axis,
+and the whole run is one jit.
 """
 
 from __future__ import annotations
@@ -18,6 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from curobo_tpu.opt.es import ESConfig, es_optimize
+from curobo_tpu.opt.external import (
+    ScipyOptConfig,
+    TorchOptConfig,
+    scipy_optimize,
+    torch_optimize,
+)
 from curobo_tpu.opt.lbfgs import (
     LBFGSConfig,
     LineSearchConfig,
@@ -263,6 +271,14 @@ def _run_es(cost_fn, x0, cfg, lower, upper, key, cost_grad_fn):
     return es_optimize(cost_fn, x0, key, cfg, lower, upper)
 
 
+def _run_scipy(cost_fn, x0, cfg, lower, upper, key, cost_grad_fn):
+    return scipy_optimize(cost_fn, x0, cfg, lower, upper, cost_grad_fn)
+
+
+def _run_torch(cost_fn, x0, cfg, lower, upper, key, cost_grad_fn):
+    return torch_optimize(cost_fn, x0, cfg, lower, upper, cost_grad_fn)
+
+
 OPTIMIZERS = {
     "lbfgs": (LBFGSConfig, _run_lbfgs),
     "gradient_descent": (GDConfig, _run_gd),
@@ -271,6 +287,8 @@ OPTIMIZERS = {
     "lsr1": (LSR1Config, _run_lsr1),
     "mppi": (MPPIConfig, _run_mppi),
     "es": (ESConfig, _run_es),
+    "scipy": (ScipyOptConfig, _run_scipy),
+    "torch": (TorchOptConfig, _run_torch),
 }
 
 
