@@ -62,6 +62,7 @@ from curobo_tpu import profiling
 
 # Perception
 from curobo_tpu.perception.mapper import Mapper, MapperConfig
+from curobo_tpu.perception.block_sparse import BlockSparseConfig, BlockSparseMapper
 from curobo_tpu.perception.segmenter import FilterDepth, RobotSegmenter
 from curobo_tpu.perception.types import CameraObservation, LidarObservation
 

@@ -1,0 +1,475 @@
+"""Block-sparse TSDF: fixed block-pool + spatial-hash table, all static
+shapes.
+
+Parity: reference `BlockSparseTSDF` (`perception/mapper/storage.py:493`) —
+an open-address hash table of 8^3 voxel blocks allocated on demand, so
+memory scales with OBSERVED SURFACE instead of workspace volume (the dense
+`mapper.py` grid is O(extent^3)).
+
+TPU redesign: CUDA's dynamic block allocation (atomic counters, device
+hash inserts) is replaced by a functional static-capacity design that XLA
+can compile once:
+
+- a static POOL of `pool_blocks` blocks, each `block_size^3` voxels,
+  resident as one (P, b, b, b) array — integration touches every pool
+  slot every frame (masked), which is PERFECT for the VPU: static shapes,
+  no gather/scatter of block payloads, dead slots cost only masked lanes;
+- an open-address hash table (power-of-two slots, Knuth multiplicative
+  probe) mapping encoded block coords -> pool index. Lookups are
+  branch-free MAX_PROBE-step gathers vectorized over query points;
+  inserts are a small `lax.fori_loop` over the (deduped, capped) set of
+  NEW candidate blocks per frame — hundreds of scalar steps/frame, not a
+  per-voxel cost;
+- everything is a pytree (`BlockSparseTSDF`), so integrate/query/decay
+  jit and differentiate like the dense grid.
+
+Capacity behavior: when the pool fills, new blocks are dropped (counted in
+`dropped_blocks`) — the reference's fixed `max_blocks` budget behaves the
+same way (storage.py docstring memory budget :12-36).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curobo_tpu.perception.types import CameraObservation
+
+# block coords live in [-COORD_OFF, COORD_OFF); 10 bits per axis
+_COORD_OFF = 512
+_FREE = jnp.int32(-1)  # hash-slot "empty" sentinel (valid keys are >= 0)
+_MAX_PROBE = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSparseConfig:
+    block_size: int = 8  # voxels per block side
+    pool_blocks: int = 2048  # static block capacity
+    table_size: int = 8192  # hash slots (power of two, >= 2*pool_blocks)
+    voxel_size: float = 0.02
+    truncation: float = 0.06
+    max_weight: float = 64.0
+    occupancy_threshold: float = 0.0
+    # cap on NEW blocks considered per integrate call (insert-loop length)
+    max_new_blocks_per_frame: int = 1024
+    # depth-image subsample stride for block discovery
+    discovery_stride: int = 4
+
+    def __post_init__(self):
+        if self.table_size & (self.table_size - 1):
+            raise ValueError("table_size must be a power of two")
+        if self.table_size < 2 * self.pool_blocks:
+            raise ValueError("table_size must be >= 2 * pool_blocks")
+
+    @property
+    def block_extent(self) -> float:
+        return self.block_size * self.voxel_size
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockSparseTSDF:
+    """Functional block-sparse mapper state."""
+
+    table_key: jnp.ndarray  # (T,) int32 encoded block coord or _FREE
+    table_slot: jnp.ndarray  # (T,) int32 pool index
+    pool_coords: jnp.ndarray  # (P, 3) int32 block coords of each pool slot
+    n_alloc: jnp.ndarray  # () int32 allocated blocks
+    dropped_blocks: jnp.ndarray  # () int32 candidates dropped at capacity
+    tsdf: jnp.ndarray  # (P, b, b, b) f32
+    weight: jnp.ndarray  # (P, b, b, b) f32
+
+    @property
+    def nbytes(self) -> int:
+        return sum(
+            np.prod(a.shape) * a.dtype.itemsize
+            for a in (
+                self.table_key,
+                self.table_slot,
+                self.pool_coords,
+                self.tsdf,
+                self.weight,
+            )
+        )
+
+
+def make_sparse_grid(cfg: BlockSparseConfig) -> BlockSparseTSDF:
+    b, P, T = cfg.block_size, cfg.pool_blocks, cfg.table_size
+    return BlockSparseTSDF(
+        table_key=jnp.full((T,), _FREE, jnp.int32),
+        table_slot=jnp.full((T,), -1, jnp.int32),
+        pool_coords=jnp.zeros((P, 3), jnp.int32),
+        n_alloc=jnp.int32(0),
+        dropped_blocks=jnp.int32(0),
+        tsdf=jnp.full((P, b, b, b), cfg.truncation, jnp.float32),
+        weight=jnp.zeros((P, b, b, b), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hash table
+# ---------------------------------------------------------------------------
+def _encode(bc: jnp.ndarray) -> jnp.ndarray:
+    """Block coords (..., 3) int32 -> encoded key (...,). Out-of-range
+    coords map to _FREE (never matched, never inserted)."""
+    inb = jnp.all((bc >= -_COORD_OFF) & (bc < _COORD_OFF), axis=-1)
+    x, y, z = bc[..., 0] + _COORD_OFF, bc[..., 1] + _COORD_OFF, bc[..., 2] + _COORD_OFF
+    key = (x << 20) | (y << 10) | z
+    return jnp.where(inb, key, _FREE)
+
+
+def _decode(key: jnp.ndarray) -> jnp.ndarray:
+    """Encoded key (...,) -> block coords (..., 3)."""
+    return (
+        jnp.stack(
+            [(key >> 20) & 1023, (key >> 10) & 1023, key & 1023], axis=-1
+        )
+        - _COORD_OFF
+    )
+
+
+def _hash(keys: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Fibonacci hash -> [0, table_size). Takes the HIGH bits of key*K
+    (the low bits of the product depend only on the key's low bits, which
+    neighboring blocks share — that degenerates to ~1 bucket per plane)."""
+    tbits = table_size.bit_length() - 1
+    u = keys.astype(jnp.uint32)
+    u = (u ^ (u >> 16)) * jnp.uint32(2654435761)
+    return (u >> (32 - tbits)).astype(jnp.int32)
+
+
+def _lookup(cfg: BlockSparseConfig, grid: BlockSparseTSDF, keys: jnp.ndarray):
+    """Vectorized probe: keys (...,) -> pool slot (...,) or -1."""
+    mask = cfg.table_size - 1
+    h0 = _hash(keys, cfg.table_size)
+    slot = jnp.full(keys.shape, -1, jnp.int32)
+    for i in range(_MAX_PROBE):
+        idx = (h0 + i) & mask
+        k = grid.table_key[idx]
+        hit = (k == keys) & (keys != _FREE) & (slot < 0)
+        slot = jnp.where(hit, grid.table_slot[idx], slot)
+    return slot
+
+
+def allocate_blocks(
+    cfg: BlockSparseConfig, grid: BlockSparseTSDF, block_coords: jnp.ndarray
+) -> BlockSparseTSDF:
+    """Insert candidate block coords (N, 3) (dupes fine) into the table.
+
+    N must be static; the insert loop is sequential over the deduped set
+    (the CUDA atomic-insert analog — order-independent because duplicate
+    keys converge to one slot)."""
+    keys = _encode(block_coords.astype(jnp.int32))
+    uniq = jnp.unique(keys, size=keys.shape[0], fill_value=_FREE)
+    mask = cfg.table_size - 1
+    P = cfg.pool_blocks
+
+    def insert(i, st):
+        tk, ts, pc, n, dropped = st
+        key = uniq[i]
+        h0 = _hash(key, cfg.table_size)
+        # find first matching slot and first free slot along the probe seq
+        first_match = jnp.int32(cfg.table_size)  # sentinel: none
+        first_free = jnp.int32(cfg.table_size)
+        for p in range(_MAX_PROBE):
+            idx = (h0 + p) & mask
+            k = tk[idx]
+            first_match = jnp.where(
+                (k == key) & (first_match == cfg.table_size), idx, first_match
+            )
+            # a match BEFORE a free slot must win; only record free slots
+            # while no match has been seen
+            first_free = jnp.where(
+                (k == _FREE) & (first_free == cfg.table_size), idx, first_free
+            )
+        have_match = first_match < cfg.table_size
+        have_free = first_free < cfg.table_size
+        can_alloc = (~have_match) & have_free & (n < P) & (key != _FREE)
+        write_idx = jnp.where(can_alloc, first_free, 0)
+        tk = tk.at[write_idx].set(jnp.where(can_alloc, key, tk[write_idx]))
+        ts = ts.at[write_idx].set(jnp.where(can_alloc, n, ts[write_idx]))
+        pc = pc.at[jnp.where(can_alloc, n, 0)].set(
+            jnp.where(can_alloc, _decode(key), pc[jnp.where(can_alloc, n, 0)])
+        )
+        n = n + jnp.where(can_alloc, 1, 0).astype(jnp.int32)
+        dropped = dropped + jnp.where(
+            (~have_match) & (~can_alloc) & (key != _FREE), 1, 0
+        ).astype(jnp.int32)
+        return tk, ts, pc, n, dropped
+
+    tk, ts, pc, n, dropped = jax.lax.fori_loop(
+        0,
+        uniq.shape[0],
+        insert,
+        (
+            grid.table_key,
+            grid.table_slot,
+            grid.pool_coords,
+            grid.n_alloc,
+            grid.dropped_blocks,
+        ),
+    )
+    return dataclasses.replace(
+        grid,
+        table_key=tk,
+        table_slot=ts,
+        pool_coords=pc,
+        n_alloc=n,
+        dropped_blocks=dropped,
+    )
+
+
+# ---------------------------------------------------------------------------
+# integration
+# ---------------------------------------------------------------------------
+def _discover_blocks(cfg: BlockSparseConfig, obs: CameraObservation) -> jnp.ndarray:
+    """Candidate block coords (M, 3) from a depth frame: back-project a
+    pixel subsample and take the blocks at the surface and +- truncation
+    along each ray (the observed TSDF band; free space in front stays
+    unallocated, like the reference's surface-band allocation)."""
+    H, W = obs.depth.shape
+    s = cfg.discovery_stride
+    depth = obs.depth[::s, ::s]
+    h, w = depth.shape
+    fx, fy = obs.intrinsics[0, 0], obs.intrinsics[1, 1]
+    cx, cy = obs.intrinsics[0, 2], obs.intrinsics[1, 2]
+    v, u = jnp.meshgrid(jnp.arange(h) * s, jnp.arange(w) * s, indexing="ij")
+    z = depth.reshape(-1)
+    ray = jnp.stack(
+        [
+            (u.reshape(-1) - cx) / fx,
+            (v.reshape(-1) - cy) / fy,
+            jnp.ones_like(z),
+        ],
+        axis=-1,
+    )  # z=1 rays in camera frame
+    valid = z > 0
+    pts = []
+    for dz in (-cfg.truncation, 0.0, cfg.truncation):
+        pts.append(ray * jnp.where(valid, z + dz, -1e6)[:, None])
+    pc = jnp.concatenate(pts, axis=0)  # (3*N, 3) camera frame
+    pw = obs.pose.transform_points(pc[None])[0]
+    # Lateral straddle is covered by neighboring pixels (the stride is
+    # finer than a block at working distances); depth straddle by the
+    # +-truncation samples — no neighborhood expansion needed.
+    return jnp.floor(pw / cfg.block_extent).astype(jnp.int32)
+
+
+def integrate_camera_sparse(
+    cfg: BlockSparseConfig, grid: BlockSparseTSDF, obs: CameraObservation
+) -> BlockSparseTSDF:
+    """Allocate blocks touched by the frame, then run the voxel-centric
+    projective update over the WHOLE pool (masked) — the dense integrator
+    semantics (`mapper.integrate_camera`) restricted to allocated blocks."""
+    # ---- allocation ----
+    cand = _discover_blocks(cfg, obs)
+    keys = _encode(cand)
+    uniq = jnp.unique(keys, size=cfg.max_new_blocks_per_frame, fill_value=_FREE)
+    grid = allocate_blocks(cfg, grid, _decode(uniq))
+
+    # ---- integration over the pool ----
+    b = cfg.block_size
+    P = cfg.pool_blocks
+    H, W = obs.depth.shape
+    # voxel centers of every pool block: (P, b, b, b, 3)
+    offs = (jnp.arange(b) + 0.5) * cfg.voxel_size
+    ox, oy, oz = jnp.meshgrid(offs, offs, offs, indexing="ij")
+    local = jnp.stack([ox, oy, oz], axis=-1)  # (b, b, b, 3)
+    base = grid.pool_coords.astype(jnp.float32) * cfg.block_extent  # (P, 3)
+    centers = base[:, None, None, None, :] + local[None]  # (P, b, b, b, 3)
+    flat = centers.reshape(-1, 3)
+
+    inv = obs.pose.inverse()
+    pc = inv.transform_points(flat[None])[0]
+    z = pc[:, 2]
+    fx, fy = obs.intrinsics[0, 0], obs.intrinsics[1, 1]
+    cx, cy = obs.intrinsics[0, 2], obs.intrinsics[1, 2]
+    u = pc[:, 0] / jnp.maximum(z, 1e-6) * fx + cx
+    v = pc[:, 1] / jnp.maximum(z, 1e-6) * fy + cy
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+    in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 1e-3)
+    d = obs.depth[vi, ui]
+    sdf = d - z
+    live = jnp.broadcast_to(
+        (jnp.arange(P) < grid.n_alloc)[:, None, None, None], (P, b, b, b)
+    ).reshape(-1)
+    update = live & in_img & (d > 0) & (sdf > -cfg.truncation)
+    tsdf_new = jnp.clip(sdf, -cfg.truncation, cfg.truncation)
+    w_new = jnp.where(update, 1.0, 0.0)
+
+    t_old = grid.tsdf.reshape(-1)
+    w_old = grid.weight.reshape(-1)
+    w_sum = w_old + w_new
+    tsdf = jnp.where(
+        w_sum > 0, (t_old * w_old + tsdf_new * w_new) / jnp.maximum(w_sum, 1e-6), t_old
+    )
+    w = jnp.minimum(w_sum, cfg.max_weight)
+    shape = grid.tsdf.shape
+    return dataclasses.replace(
+        grid, tsdf=tsdf.reshape(shape), weight=w.reshape(shape)
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries / export
+# ---------------------------------------------------------------------------
+def sample_sdf_sparse(
+    cfg: BlockSparseConfig, grid: BlockSparseTSDF, pts: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trilinear TSDF at world points (..., 3) -> (values, observed).
+
+    Each of the 8 interpolation corners does its own hash lookup, so
+    queries cross block boundaries transparently. Unobserved corners
+    contribute +truncation (free-space prior) and clear `observed`."""
+    g = pts / cfg.voxel_size - 0.5  # voxel centers at (i + .5) * vs
+    i0 = jnp.floor(g).astype(jnp.int32)
+    f = g - i0
+
+    vals = []
+    obs_all = None
+    b = cfg.block_size
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                vi = i0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                bc = jnp.floor_divide(vi, b)
+                li = vi - bc * b  # intra-block voxel index
+                slot = _lookup(cfg, grid, _encode(bc))
+                ok = slot >= 0
+                s = jnp.where(ok, slot, 0)
+                val = grid.tsdf[s, li[..., 0], li[..., 1], li[..., 2]]
+                wgt = grid.weight[s, li[..., 0], li[..., 1], li[..., 2]]
+                seen = ok & (wgt > 0)
+                val = jnp.where(seen, val, cfg.truncation)
+                wx = jnp.where(dx == 1, f[..., 0], 1 - f[..., 0])
+                wy = jnp.where(dy == 1, f[..., 1], 1 - f[..., 1])
+                wz = jnp.where(dz == 1, f[..., 2], 1 - f[..., 2])
+                vals.append(val * wx * wy * wz)
+                obs_all = seen if obs_all is None else (obs_all & seen)
+    return sum(vals), obs_all
+
+
+def extract_dense(
+    cfg: BlockSparseConfig,
+    grid: BlockSparseTSDF,
+    dims: Tuple[int, int, int],
+    origin: Tuple[float, float, float],
+):
+    """Rasterize a region to a dense `mapper.TSDFGrid` (voxel (0,0,0)
+    center at `origin`, dense-mapper convention) for ESDF / mesh
+    extraction via the dense pipeline."""
+    from curobo_tpu.perception.mapper import TSDFGrid
+
+    xs = jnp.arange(dims[0]) * cfg.voxel_size + origin[0]
+    ys = jnp.arange(dims[1]) * cfg.voxel_size + origin[1]
+    zs = jnp.arange(dims[2]) * cfg.voxel_size + origin[2]
+    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    pts = jnp.stack([X, Y, Z], axis=-1)
+    # exact voxel-center fetch (no interpolation): nearest voxel
+    vi = jnp.round(pts / cfg.voxel_size - 0.5).astype(jnp.int32)
+    b = cfg.block_size
+    bc = jnp.floor_divide(vi, b)
+    li = vi - bc * b
+    slot = _lookup(cfg, grid, _encode(bc))
+    ok = slot >= 0
+    s = jnp.where(ok, slot, 0)
+    val = grid.tsdf[s, li[..., 0], li[..., 1], li[..., 2]]
+    wgt = grid.weight[s, li[..., 0], li[..., 1], li[..., 2]]
+    return TSDFGrid(
+        tsdf=jnp.where(ok, val, cfg.truncation),
+        weight=jnp.where(ok, wgt, 0.0),
+    )
+
+
+def decay_sparse(
+    cfg: BlockSparseConfig, grid: BlockSparseTSDF, factor: float
+) -> BlockSparseTSDF:
+    """EMA weight decay over the pool (dense `decay` semantics). Blocks are
+    not freed (the pool is append-only within one session — the reference
+    frees blocks lazily too); dead voxels reset to unobserved."""
+    w = grid.weight * factor
+    dead = w < 1e-3
+    return dataclasses.replace(
+        grid,
+        tsdf=jnp.where(dead, cfg.truncation, grid.tsdf),
+        weight=jnp.where(dead, 0.0, w),
+    )
+
+
+class BlockSparseMapper:
+    """Facade mirroring `Mapper` for the block-sparse storage mode."""
+
+    def __init__(self, cfg: BlockSparseConfig = BlockSparseConfig()):
+        self.cfg = cfg
+        self.grid = make_sparse_grid(cfg)
+        self._integrate = jax.jit(
+            lambda g, o: integrate_camera_sparse(self.cfg, g, o)
+        )
+        self._decay = jax.jit(lambda g, f: decay_sparse(self.cfg, g, f))
+
+    def reset(self):
+        self.grid = make_sparse_grid(self.cfg)
+
+    def integrate(self, obs: CameraObservation) -> None:
+        self.grid = self._integrate(self.grid, obs)
+
+    def decay(self, factor: float = 0.95) -> None:
+        self.grid = self._decay(self.grid, factor)
+
+    def sample_sdf(self, pts: jnp.ndarray):
+        return sample_sdf_sparse(self.cfg, self.grid, pts)
+
+    def extract_dense(self, dims, origin):
+        return extract_dense(self.cfg, self.grid, dims, origin)
+
+    def stats(self) -> dict:
+        return {
+            "allocated_blocks": int(self.grid.n_alloc),
+            "pool_blocks": self.cfg.pool_blocks,
+            "dropped_blocks": int(self.grid.dropped_blocks),
+            "bytes": int(self.grid.nbytes),
+        }
+
+    # ---- checkpointing (metadata-validated, mapper.save/load parity) ----
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            table_key=np.asarray(self.grid.table_key),
+            table_slot=np.asarray(self.grid.table_slot),
+            pool_coords=np.asarray(self.grid.pool_coords),
+            n_alloc=np.asarray(self.grid.n_alloc),
+            dropped=np.asarray(self.grid.dropped_blocks),
+            tsdf=np.asarray(self.grid.tsdf),
+            weight=np.asarray(self.grid.weight),
+            block_size=self.cfg.block_size,
+            voxel_size=self.cfg.voxel_size,
+        )
+
+    def load(self, path: str) -> None:
+        d = np.load(path)
+        if int(d["block_size"]) != self.cfg.block_size:
+            raise ValueError(
+                f"checkpoint block_size {int(d['block_size'])} != "
+                f"{self.cfg.block_size}"
+            )
+        if abs(float(d["voxel_size"]) - self.cfg.voxel_size) > 1e-9:
+            raise ValueError("checkpoint voxel_size mismatch")
+        if d["tsdf"].shape != tuple(self.grid.tsdf.shape):
+            raise ValueError(
+                f"checkpoint pool shape {d['tsdf'].shape} != "
+                f"{tuple(self.grid.tsdf.shape)}"
+            )
+        self.grid = BlockSparseTSDF(
+            table_key=jnp.asarray(d["table_key"]),
+            table_slot=jnp.asarray(d["table_slot"]),
+            pool_coords=jnp.asarray(d["pool_coords"]),
+            n_alloc=jnp.asarray(d["n_alloc"]),
+            dropped_blocks=jnp.asarray(d["dropped"]),
+            tsdf=jnp.asarray(d["tsdf"]),
+            weight=jnp.asarray(d["weight"]),
+        )

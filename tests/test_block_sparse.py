@@ -1,0 +1,185 @@
+"""Block-sparse TSDF tests (reference `BlockSparseTSDF`, `storage.py:493`):
+hash allocate/lookup, dense-vs-sparse integration agreement, cross-block
+trilinear queries, capacity behavior, checkpoint round-trip, memory win."""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curobo_tpu.perception.block_sparse import (
+    BlockSparseConfig,
+    BlockSparseMapper,
+    allocate_blocks,
+    extract_dense,
+    integrate_camera_sparse,
+    make_sparse_grid,
+    sample_sdf_sparse,
+    _encode,
+    _lookup,
+)
+from curobo_tpu.perception.mapper import (
+    Mapper,
+    MapperConfig,
+    _sample_trilinear,
+)
+from curobo_tpu.perception.types import CameraObservation
+from curobo_tpu.types.pose import Pose
+
+
+def make_camera_obs(H=120, W=160, wall_z=1.0, cam_pos=(0.0, 0.0, -1.0)):
+    """Camera at cam_pos looking +z at a flat wall at world z=wall_z."""
+    f = W / (2.0 * np.tan(np.radians(60.0) / 2))
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    depth = jnp.full((H, W), wall_z - cam_pos[2], jnp.float32)
+    return CameraObservation(
+        depth=depth,
+        intrinsics=K,
+        pose=Pose(jnp.asarray(cam_pos), jnp.asarray([1.0, 0, 0, 0])),
+    )
+
+
+class TestHashTable:
+    def test_allocate_and_lookup(self):
+        cfg = BlockSparseConfig(pool_blocks=64, table_size=256)
+        grid = make_sparse_grid(cfg)
+        coords = jnp.asarray(
+            [[0, 0, 0], [1, 2, 3], [-4, 5, -6], [1, 2, 3]], jnp.int32
+        )  # one duplicate
+        grid = allocate_blocks(cfg, grid, coords)
+        assert int(grid.n_alloc) == 3
+        slots = _lookup(cfg, grid, _encode(coords))
+        assert np.all(np.asarray(slots) >= 0)
+        # duplicate coords resolve to the same slot
+        assert int(slots[1]) == int(slots[3])
+        # unknown coords miss
+        miss = _lookup(cfg, grid, _encode(jnp.asarray([[9, 9, 9]], jnp.int32)))
+        assert int(miss[0]) == -1
+
+    def test_reinsert_is_idempotent(self):
+        cfg = BlockSparseConfig(pool_blocks=64, table_size=256)
+        grid = make_sparse_grid(cfg)
+        coords = jnp.asarray([[i, 0, 0] for i in range(10)], jnp.int32)
+        grid = allocate_blocks(cfg, grid, coords)
+        grid2 = allocate_blocks(cfg, grid, coords)
+        assert int(grid2.n_alloc) == int(grid.n_alloc) == 10
+        np.testing.assert_array_equal(
+            np.asarray(grid.table_slot), np.asarray(grid2.table_slot)
+        )
+
+    def test_pool_exhaustion_drops_cleanly(self):
+        cfg = BlockSparseConfig(pool_blocks=8, table_size=64)
+        grid = make_sparse_grid(cfg)
+        coords = jnp.asarray([[i, 1, 1] for i in range(20)], jnp.int32)
+        grid = allocate_blocks(cfg, grid, coords)
+        assert int(grid.n_alloc) == 8
+        assert int(grid.dropped_blocks) == 12
+        # allocated ones still resolve
+        slots = _lookup(cfg, grid, _encode(coords))
+        assert int(np.sum(np.asarray(slots) >= 0)) == 8
+
+
+class TestIntegration:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        """Same wall integrated into a dense mapper and a sparse mapper."""
+        obs = make_camera_obs()
+        dense_cfg = MapperConfig(
+            dims=(64, 64, 96), voxel_size=0.02, origin=(-0.64, -0.64, -0.5)
+        )
+        dense = Mapper(dense_cfg)
+        dense.integrate(obs)
+        sparse_cfg = BlockSparseConfig(pool_blocks=1024, table_size=4096)
+        sparse = BlockSparseMapper(sparse_cfg)
+        sparse.integrate(obs)
+        return dense, sparse, obs
+
+    def test_allocates_only_near_surface(self, pair):
+        _, sparse, _ = pair
+        st = sparse.stats()
+        assert 0 < st["allocated_blocks"] < sparse.cfg.pool_blocks
+        assert st["dropped_blocks"] == 0
+
+    def test_matches_dense_tsdf_at_surface_band(self, pair):
+        dense, sparse, _ = pair
+        cfg = dense.cfg
+        # sample dense voxel centers in the observed band near the wall
+        xs = np.arange(cfg.dims[0]) * cfg.voxel_size + cfg.origin[0]
+        ys = np.arange(cfg.dims[1]) * cfg.voxel_size + cfg.origin[1]
+        zs = np.arange(cfg.dims[2]) * cfg.voxel_size + cfg.origin[2]
+        X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+        pts = jnp.asarray(np.stack([X, Y, Z], -1).reshape(-1, 3), jnp.float32)
+        sv, sobs = sample_sdf_sparse(sparse.cfg, sparse.grid, pts)
+        dv = np.asarray(dense.grid.tsdf).reshape(-1)
+        dw = np.asarray(dense.grid.weight).reshape(-1)
+        m = (
+            np.asarray(sobs)
+            & (dw > 0)
+            & (np.abs(dv) < cfg.truncation * 0.9)
+            # near the image center the wall is fully observed
+            & (np.abs(np.asarray(pts)[:, 0]) < 0.2)
+            & (np.abs(np.asarray(pts)[:, 1]) < 0.2)
+        )
+        assert m.sum() > 100
+        err = np.abs(np.asarray(sv)[m] - dv[m])
+        # trilinear vs voxel-center sampling differs by <= half a voxel of
+        # sdf slope; the wall is axis-aligned so agreement is tight
+        assert np.median(err) < 0.5 * cfg.voxel_size
+        assert np.percentile(err, 95) < 1.5 * cfg.voxel_size
+
+    def test_extract_dense_roundtrip(self, pair):
+        dense, sparse, _ = pair
+        cfg = dense.cfg
+        # sparse voxel centers sit at (i + .5)*vs; pick an aligned origin
+        out = extract_dense(sparse.cfg, sparse.grid, (32, 32, 32), (0.01, 0.01, 0.81))
+        assert out.tsdf.shape == (32, 32, 32)
+        # the wall at z=1.0 must appear: some occupied voxels near z index
+        occ = (np.asarray(out.weight) > 0) & (np.asarray(out.tsdf) < 0.01)
+        assert occ.sum() > 10
+
+    def test_query_unobserved_space_is_free(self, pair):
+        _, sparse, _ = pair
+        v, obs = sample_sdf_sparse(
+            sparse.cfg, sparse.grid, jnp.asarray([[5.0, 5.0, 5.0]])
+        )
+        assert not bool(obs[0])
+        assert float(v[0]) == pytest.approx(sparse.cfg.truncation, rel=1e-5)
+
+    def test_memory_beats_dense_for_large_extent(self, pair):
+        _, sparse, _ = pair
+        # dense coverage of a 10 m cube at 2 cm: 500^3 voxels * 8 B
+        dense_bytes = 500**3 * 8
+        assert sparse.grid.nbytes < dense_bytes / 50
+
+
+class TestFacade:
+    def test_decay_clears(self):
+        cfg = BlockSparseConfig(pool_blocks=256, table_size=1024)
+        m = BlockSparseMapper(cfg)
+        m.integrate(make_camera_obs(H=60, W=80))
+        assert float(jnp.max(m.grid.weight)) > 0
+        for _ in range(40):
+            m.decay(0.7)
+        assert float(jnp.max(m.grid.weight)) == 0.0
+
+    def test_checkpoint_roundtrip(self):
+        cfg = BlockSparseConfig(pool_blocks=256, table_size=1024)
+        m = BlockSparseMapper(cfg)
+        m.integrate(make_camera_obs(H=60, W=80))
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "ckpt.npz")
+            m.save(path)
+            m2 = BlockSparseMapper(cfg)
+            m2.load(path)
+            np.testing.assert_array_equal(
+                np.asarray(m.grid.tsdf), np.asarray(m2.grid.tsdf)
+            )
+            assert m2.stats() == m.stats()
+            # mismatched config refuses
+            m3 = BlockSparseMapper(
+                BlockSparseConfig(pool_blocks=128, table_size=512)
+            )
+            with pytest.raises(ValueError):
+                m3.load(path)
