@@ -46,7 +46,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from curobo_tpu.geom import world as world_mod
-from curobo_tpu.ops.pallas_ik import SUB, LANE, BLK, PallasIKCost, _atan2_nonneg
+from curobo_tpu.ops.pallas_ik import (
+    SUB,
+    LANE,
+    BLK,
+    PallasIKCost,
+    _atan2_nonneg,
+    make_scene_msdf,
+)
 from curobo_tpu.ops import blast as blast_mod
 from curobo_tpu.robot.params import KinematicsParams
 from curobo_tpu.rollout.robot_rollout import RobotRolloutConfig
@@ -179,62 +186,67 @@ class PallasTrajCost:
                 cost = cost + cfg.jerk_weight / H * j_h[d] * j_h[d]
 
         # ---- swept scene collision ------------------------------------
+        # Spheres stack on a leading axis; min-SDF per sweep sample is the
+        # shared custom_vjp scan (analytic recomputed backward) so the
+        # obstacle loop unrolls only K_sweep x capacity times, not
+        # x n_spheres too (see pallas_ik.make_scene_msdf).
         cc = cfg.collision_cost
         act = cc.activation_distance
         K = cc.sweep_steps if cfg.use_swept_collision else 1
         big = 1.0e6
+        live = self._ik._live_spheres
+        SX = jnp.stack([sx[si] for si in live])
+        SY = jnp.stack([sy[si] for si in live])
+        SZ = jnp.stack([sz[si] for si in live])
+        PX = jnp.stack([px[si] for si in live])
+        PY = jnp.stack([py[si] for si in live])
+        PZ = jnp.stack([pz[si] for si in live])
+        scene_msdf = make_scene_msdf(w)
+        pen_s = jnp.zeros_like(SX)
         min_clear = jnp.full_like(cost, big)
-        pen_total = jnp.zeros_like(cost)
-        for si in range(S):
-            if radii[si] < 0:
-                continue
-            pen_s = jnp.zeros_like(cost)
-            for k in range(1, K + 1):
-                alpha = k / K
-                ix = px[si] * (1 - alpha) + sx[si] * alpha
-                iy = py[si] * (1 - alpha) + sy[si] * alpha
-                iz = pz[si] * (1 - alpha) + sz[si] * alpha
-                msdf = self._ik._min_sdf_point(ix, iy, iz, w)
-                pen_s = pen_s + jnp.maximum(0.0, act + radii[si] - msdf)
-                if with_metrics and k == K:
-                    # endpoint clearance (blast feasibility semantics,
-                    # `ops/blast.py:609-613`)
-                    min_clear = jnp.minimum(min_clear, msdf - radii[si])
-            pen_s = pen_s / K
-            if cc.speed_metric:
-                # CHOMP-style motion-aware scaling (blast parity:
-                # `ops/blast.py:601-606`, ref `wp_speed_metric.py:10`)
-                speed = jnp.sqrt(
-                    (sx[si] - px[si]) ** 2
-                    + (sy[si] - py[si]) ** 2
-                    + (sz[si] - pz[si]) ** 2
-                    + 1e-12
-                )
-                pen_s = pen_s * (speed + 1e-3)
-            pen_total = pen_total + pen_s
-        cost = cost + cc.weight * pen_total
+        for k in range(1, K + 1):
+            alpha = k / K
+            msdf = scene_msdf(
+                PX * (1 - alpha) + SX * alpha,
+                PY * (1 - alpha) + SY * alpha,
+                PZ * (1 - alpha) + SZ * alpha,
+            )
+            # per-sphere radii stay Python-scalar constants (Mosaic
+            # rejects captured ARRAY constants)
+            viol = [
+                jnp.maximum(0.0, act + float(radii[si]) - msdf[idx])
+                for idx, si in enumerate(live)
+            ]
+            pen_s = pen_s + jnp.stack(viol)
+            if with_metrics and k == K:
+                # endpoint clearance (blast feasibility semantics,
+                # `ops/blast.py:609-613`)
+                for idx, si in enumerate(live):
+                    min_clear = jnp.minimum(
+                        min_clear, msdf[idx] - float(radii[si])
+                    )
+        pen_s = pen_s / K
+        if cc.speed_metric:
+            # CHOMP-style motion-aware scaling (blast parity:
+            # `ops/blast.py:601-606`, ref `wp_speed_metric.py:10`)
+            speed = jnp.sqrt(
+                (SX - PX) ** 2 + (SY - PY) ** 2 + (SZ - PZ) ** 2 + 1e-12
+            )
+            pen_s = pen_s * (speed + 1e-3)
+        cost = cost + cc.weight * jnp.sum(pen_s, axis=0)
 
-        # ---- self collision (unrolled pairs; small robots) -------------
+        # ---- self collision (shared custom_vjp recompute block) --------
         sc_w = cfg.self_collision_cost.weight
-        sc_act = cfg.self_collision_cost.activation_distance
-        pa = np.asarray(p.self_collision.pair_a)
-        pb = np.asarray(p.self_collision.pair_b)
-        mg = np.asarray(p.self_collision.pair_margin, np.float64)
-        sc = jnp.zeros_like(cost)
-        self_viol = jnp.full_like(cost, -big)
-        for idx in range(len(pa)):
-            m = mg[idx]
-            if not np.isfinite(m):
-                continue
-            i, j = int(pa[idx]), int(pb[idx])
-            ddx = sx[i] - sx[j]
-            ddy = sy[i] - sy[j]
-            ddz = sz[i] - sz[j]
-            dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + 1e-12)
-            sc = sc + jnp.maximum(m + sc_act - dist, 0.0)
-            if with_metrics:
-                self_viol = jnp.maximum(self_viol, m - dist)
+        sc = self._ik.sc_block_fn()(jnp.stack(sx), jnp.stack(sy), jnp.stack(sz))
         cost = cost + sc_w * sc
+        self_viol = jnp.full_like(cost, -big)
+        if with_metrics:
+            for i, j, m in self._ik._live_pairs:
+                ddx = sx[i] - sx[j]
+                ddy = sy[i] - sy[j]
+                ddz = sz[i] - sz[j]
+                dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + 1e-12)
+                self_viol = jnp.maximum(self_viol, m - dist)
         if not with_metrics:
             return cost
 

@@ -142,7 +142,19 @@ def integrate_camera(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
     in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 1e-3)
-    d = obs.depth[vi, ui]  # (V,)
+    # ONE gather for all channels: pack [depth | rgb | feature] into a
+    # (H*W, C) image so the V random lookups hit contiguous rows instead
+    # of C separate gather passes (the TPU gather is the bottleneck here).
+    chans = [obs.depth[..., None]]
+    want_rgb = grid.rgb is not None and obs.rgb is not None
+    want_feat = grid.feature is not None and obs.feature is not None
+    if want_rgb:
+        chans.append(obs.rgb)
+    if want_feat:
+        chans.append(obs.feature)
+    packed = jnp.concatenate(chans, axis=-1).reshape(H * W, -1)
+    rows = jnp.take(packed, vi * W + ui, axis=0)  # (V, C)
+    d = rows[:, 0]
     valid = in_img & (d > 0)
     sdf = d - z
     tsdf_new = jnp.clip(sdf, -cfg.truncation, cfg.truncation)
@@ -153,11 +165,13 @@ def integrate_camera(
     near = update & (jnp.abs(sdf) <= cfg.truncation)
     w_app = jnp.where(near, 1.0, 0.0)
     rgb_new = feat_new = None
-    if grid.rgb is not None and obs.rgb is not None:
-        rgb_new = obs.rgb[vi, ui]
+    c0 = 1
+    if want_rgb:
+        rgb_new = rows[:, c0 : c0 + 3]
+        c0 += 3
         w_new = jnp.where(near, w_app, w_new)  # same weight field
-    if grid.feature is not None and obs.feature is not None:
-        feat_new = obs.feature[vi, ui]
+    if want_feat:
+        feat_new = rows[:, c0:]
     return _fuse(cfg, grid, tsdf_new, w_new, rgb_new, feat_new)
 
 

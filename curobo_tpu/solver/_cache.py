@@ -46,3 +46,14 @@ class WorldKeyedCache:
                 self._entries.popitem(last=False)
             self._entries[key] = self._build(world)
         return self._entries[key]
+
+    # -- compile-failure quarantine ------------------------------------
+    # A Mosaic edge case (register spill, unsupported op) surfaces as a
+    # JaxRuntimeError on the first call for a given envelope. Solvers mark
+    # the envelope broken and permanently route it to the XLA fallback
+    # path, so one bad kernel shape can never take down a whole run.
+    def mark_broken(self, world) -> None:
+        self._entries[("broken",) + world_envelope(world)] = True
+
+    def is_broken(self, world) -> bool:
+        return ("broken",) + world_envelope(world) in self._entries

@@ -314,7 +314,17 @@ class IKSolver:
                 and rollout_config_is_supported(self.cfg.rollout)
                 and goal.goal_cspace is None
                 and jax.default_backend() == "tpu"
+                and not self._pallas_cache.is_broken(world)
             ):
                 solve = self._get_pallas_solver(world)
-                return solve(world, goal, seeds, key)
+                try:
+                    return solve(world, goal, seeds, key)
+                except jax.errors.JaxRuntimeError as e:
+                    from curobo_tpu.util.logging import log_warn
+
+                    log_warn(
+                        "pallas IK solver failed for this world envelope "
+                        f"({str(e)[:160]}); falling back to the XLA path"
+                    )
+                    self._pallas_cache.mark_broken(world)
         return self._solve_jit(world, goal, seeds, key)

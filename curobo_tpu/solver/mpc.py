@@ -105,33 +105,18 @@ class MPCSolver:
         from curobo_tpu.solver._cache import WorldKeyedCache
 
         self._pallas_cache = WorldKeyedCache(self._build_pallas_step)
+        self._ticker_cache = WorldKeyedCache(self._build_ticker_pallas)
+        self._generic_ticker = jax.jit(self._ticks_impl)
 
     # ------------------------------------------------------------------
     def _build_pallas_step(self, world):
         import functools
 
-        import numpy as np
-
-        from curobo_tpu.ops.pallas_traj import PallasTrajCost
-
-        cfg = self.cfg
-        ptc = PallasTrajCost(self.params, cfg.rollout, world, cfg.bspline)
-        mp, lb = cfg.mppi, cfg.lbfgs
-        solve_kernel = ptc.build_solver(
-            mppi_iters=mp.n_iters if cfg.use_particle_stage else 0,
-            n_particles=mp.n_particles,
-            init_std=float(mp.init_std),
-            std_decay=mp.std_decay,
-            min_std=mp.min_std,
-            temperature=mp.temperature,
-            step_size=mp.step_size,
-            lbfgs_iters=lb.n_iters if cfg.use_gradient_stage else 0,
-            history=lb.history,
-            max_step=lb.max_step,
-            eps_smooth=np.asarray(self._smooth_L),
-        )
         return jax.jit(
-            functools.partial(self._step_impl_pallas, solve_kernel=solve_kernel)
+            functools.partial(
+                self._step_impl_pallas,
+                solve_kernel=self._build_pallas_kernel(world),
+            )
         )
 
     def _use_pallas(self, world, goal) -> bool:
@@ -295,6 +280,87 @@ class MPCSolver:
         return result, new_state
 
     # ------------------------------------------------------------------
+    # Device-resident closed-loop rollout: `lax.scan` over ticks with the
+    # measured state fed back from the previous command (perfect-tracking
+    # assumption). One dispatch runs the WHOLE control episode — this is
+    # both the deployment shape for on-device control loops and the honest
+    # way to measure tick throughput when every blocking host<->device
+    # round-trip costs ~25 ms of tunnel RTT (the reference's analog keeps
+    # the tick inside one CUDA-graph replay, `solver_mpc.py:661`).
+    def _ticks_body(self, impl, worlds, goal, state0, q0, qd0):
+        def body(carry, w_t):
+            state, q, qd = carry
+            res, state = impl(w_t, goal, state, q, qd)
+            return (state, res.command.position, res.command.velocity), res
+
+        (state, _, _), results = jax.lax.scan(body, (state0, q0, qd0), worlds)
+        return results, state
+
+    def _ticks_impl(self, worlds, goal, state0, q0, qd0):
+        return self._ticks_body(self._step_impl, worlds, goal, state0, q0, qd0)
+
+    def _build_ticker_pallas(self, worlds):
+        import functools
+
+        w0 = jax.tree.map(lambda a: a[0], worlds)
+        impl = functools.partial(
+            self._step_impl_pallas,
+            solve_kernel=self._build_pallas_kernel(w0),
+        )
+        return jax.jit(functools.partial(self._ticks_body, impl))
+
+    def _build_pallas_kernel(self, world):
+        from curobo_tpu.ops.pallas_traj import PallasTrajCost
+        import numpy as np
+
+        cfg = self.cfg
+        ptc = PallasTrajCost(self.params, cfg.rollout, world, cfg.bspline)
+        mp, lb = cfg.mppi, cfg.lbfgs
+        return ptc.build_solver(
+            mppi_iters=mp.n_iters if cfg.use_particle_stage else 0,
+            n_particles=mp.n_particles,
+            init_std=float(mp.init_std),
+            std_decay=mp.std_decay,
+            min_std=mp.min_std,
+            temperature=mp.temperature,
+            step_size=mp.step_size,
+            lbfgs_iters=lb.n_iters if cfg.use_gradient_stage else 0,
+            history=lb.history,
+            max_step=lb.max_step,
+            eps_smooth=np.asarray(self._smooth_L),
+        )
+
+    def run_ticks(
+        self,
+        worlds: world_mod.WorldData,  # leaves stacked (T, ...) — one per tick
+        goal: Goal,
+        state: MPCState,
+        joint_state: JointState,  # measured (B, D) at tick 0
+    ) -> Tuple[MPCResult, MPCState]:
+        """Run T ticks in ONE dispatch. Returns per-tick stacked MPCResult
+        (leading T axis) + the final warm-start state."""
+        q0 = joint_state.position
+        qd0 = (
+            joint_state.velocity
+            if joint_state.velocity is not None
+            else jnp.zeros_like(q0)
+        )
+        w0 = jax.tree.map(lambda a: a[0], worlds)
+        if self._use_pallas(w0, goal) and not self._ticker_cache.is_broken(worlds):
+            ticker = self._ticker_cache.get(worlds)
+            try:
+                return ticker(worlds, goal, state, q0, qd0)
+            except jax.errors.JaxRuntimeError as e:
+                from curobo_tpu.util.logging import log_warn
+
+                log_warn(
+                    "pallas MPC ticker failed for this world envelope "
+                    f"({str(e)[:160]}); falling back to the XLA path"
+                )
+                self._ticker_cache.mark_broken(worlds)
+        return self._generic_ticker(worlds, goal, state, q0, qd0)
+
+    # ------------------------------------------------------------------
     def step(
         self,
         world: world_mod.WorldData,
@@ -311,9 +377,16 @@ class MPCSolver:
             if joint_state.velocity is not None
             else jnp.zeros_like(joint_state.position)
         )
-        step = (
-            self._pallas_cache.get(world)
-            if self._use_pallas(world, goal)
-            else self._step_jit
-        )
-        return step(world, goal, state, joint_state.position, qd)
+        if self._use_pallas(world, goal) and not self._pallas_cache.is_broken(world):
+            step = self._pallas_cache.get(world)
+            try:
+                return step(world, goal, state, joint_state.position, qd)
+            except jax.errors.JaxRuntimeError as e:
+                from curobo_tpu.util.logging import log_warn
+
+                log_warn(
+                    "pallas MPC step failed for this world envelope "
+                    f"({str(e)[:160]}); falling back to the XLA path"
+                )
+                self._pallas_cache.mark_broken(world)
+        return self._step_jit(world, goal, state, joint_state.position, qd)

@@ -338,14 +338,27 @@ class TrajOptSolver:
             )
         dt = jnp.broadcast_to(self.estimate_dt(q_start[:, None], seed_q), (B, S))
 
-        solve = (
-            self._pallas_cache.get(world)
-            if self._use_pallas(world, goal)
-            else self._solve_jit
+        use_pallas = self._use_pallas(world, goal) and not self._pallas_cache.is_broken(
+            world
         )
+        solve = self._pallas_cache.get(world) if use_pallas else self._solve_jit
         best = None  # host-side per-problem best tracker
         for attempt in range(cfg.finetune_attempts + 1):
-            out = solve(world, goal, q_start, free0, dt, key)
+            try:
+                out = solve(world, goal, q_start, free0, dt, key)
+            except jax.errors.JaxRuntimeError as e:
+                if not use_pallas:
+                    raise
+                from curobo_tpu.util.logging import log_warn
+
+                log_warn(
+                    "pallas trajopt solver failed for this world envelope "
+                    f"({str(e)[:160]}); falling back to the XLA path"
+                )
+                self._pallas_cache.mark_broken(world)
+                use_pallas = False
+                solve = self._solve_jit
+                out = solve(world, goal, q_start, free0, dt, key)
             ok = out.converged  # (B, S)
             # candidate score: feasible+converged -> motion time, else BIG
             mt = out.dt_retimed * (cfg.bspline.horizon - 1)
