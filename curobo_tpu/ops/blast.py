@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -325,20 +326,83 @@ def scene_min_sdf_blast(world: world_mod.WorldData, sx, sy, sz):
     return min_sdf
 
 
+_SC_CHUNK = 4096  # pairs per scan step on the chunked humanoid path
+
+
 def self_collision_blast(params: KinematicsParams, sx, sy, sz, activation: float):
-    """(summed activated violation (,...), max violation (,...))."""
+    """(summed activated violation (,...), max violation (,...)).
+
+    Humanoid-scale pair lists (G1: 162k) are CHUNKED under a
+    rematerialized `lax.scan` — materializing (n_pairs, N) at optimizer
+    batch sizes is GBs and crashes the XLA TPU compile (see
+    `geom/self_collision.py` for the same treatment on the generic path).
+    """
     sc = params.self_collision
     pa = np.asarray(sc.pair_a)
     pb = np.asarray(sc.pair_b)
-    margin_shape = (len(pa),) + (1,) * (sx.ndim - 1)
-    margin = sc.pair_margin.reshape(margin_shape)
-    dxp = sx[pa] - sx[pb]
-    dyp = sy[pa] - sy[pb]
-    dzp = sz[pa] - sz[pb]
-    dist = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp + 1e-12)
-    sviol = jnp.maximum(margin + activation - dist, 0.0)
-    self_d = jnp.max(jnp.maximum(margin - dist, 0.0), axis=0)
-    return jnp.sum(sviol, axis=0), self_d
+    P = len(pa)
+    if P <= _SC_CHUNK:
+        margin_shape = (P,) + (1,) * (sx.ndim - 1)
+        margin = sc.pair_margin.reshape(margin_shape)
+        dxp = sx[pa] - sx[pb]
+        dyp = sy[pa] - sy[pb]
+        dzp = sz[pa] - sz[pb]
+        dist = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp + 1e-12)
+        sviol = jnp.maximum(margin + activation - dist, 0.0)
+        self_d = jnp.max(jnp.maximum(margin - dist, 0.0), axis=0)
+        return jnp.sum(sviol, axis=0), self_d
+
+    n_chunks = (P + _SC_CHUNK - 1) // _SC_CHUNK
+    Ppad = n_chunks * _SC_CHUNK
+    pa2 = np.zeros(Ppad, np.int32)
+    pb2 = np.zeros(Ppad, np.int32)
+    mg2 = np.full(Ppad, -1.0e30, np.float32)
+    pa2[:P], pb2[:P] = pa, pb
+    mg2[:P] = np.asarray(sc.pair_margin, np.float32)
+    pa2 = jnp.asarray(pa2.reshape(n_chunks, _SC_CHUNK))
+    pb2 = jnp.asarray(pb2.reshape(n_chunks, _SC_CHUNK))
+    mg2 = jnp.asarray(mg2.reshape(n_chunks, _SC_CHUNK))
+    lane = sx.shape[1:]
+    mshape = (_SC_CHUNK,) + (1,) * len(lane)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        acc, mx = carry
+        ia, ib, mg = xs
+        dxp = sx[ia] - sx[ib]
+        dyp = sy[ia] - sy[ib]
+        dzp = sz[ia] - sz[ib]
+        dist = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp + 1e-12)
+        mgr = mg.reshape(mshape)
+        acc = acc + jnp.sum(jnp.maximum(mgr + activation - dist, 0.0), axis=0)
+        mx = jnp.maximum(mx, jnp.max(jnp.maximum(mgr - dist, 0.0), axis=0))
+        return (acc, mx), None
+
+    z = jnp.zeros(lane, sx.dtype)
+    (acc, mx), _ = jax.lax.scan(body, (z, z), (pa2, pb2, mg2))
+    return acc, mx
+
+
+def com_blast(params: KinematicsParams, Rg, pg):
+    """Mass-weighted center of mass (x, y, z) lanes from B-last FK frames.
+
+    Parity: `robot/kinematics.py:compute_com` in the lane layout (the
+    support-polygon balance term's input, ref `cost_support_polygon.py:109`).
+    """
+    m = np.asarray(params.link_mass, np.float64)
+    com_l = np.asarray(params.link_com, np.float64)
+    total = float(max(m.sum(), 1e-9))
+    cx = cy = cz = 0.0
+    for li in range(params.n_links):
+        if m[li] <= 0.0:
+            continue
+        R, p = Rg[li], pg[li]
+        lx, ly, lz = com_l[li]
+        w = float(m[li] / total)
+        cx = cx + w * (R[0] * lx + R[1] * ly + R[2] * lz + p[0])
+        cy = cy + w * (R[3] * lx + R[4] * ly + R[5] * lz + p[1])
+        cz = cz + w * (R[6] * lx + R[7] * ly + R[8] * lz + p[2])
+    return cx, cy, cz
 
 
 @dataclasses.dataclass
@@ -358,8 +422,14 @@ class BlastRollout:
     def supports(params: KinematicsParams, goal: Goal, cfg=None) -> bool:
         return (
             goal.goal_pos.shape[-3] == 1
-            # humanoid balance term lives only in the generic rollout
-            and (cfg is None or cfg.support_polygon is None)
+            # humanoid balance needs the hull baked static
+            # (`cost/support_polygon.py:configure_rollout`)
+            and (
+                cfg is None
+                or cfg.support_polygon is None
+                or cfg.support_polygon.weight <= 0.0
+                or cfg.support_hull is not None
+            )
             # per-tool ToolPoseCriteria live only in the generic rollout
             and goal.tool_weight is None
             and goal.tool_tolerance is None
@@ -485,6 +555,23 @@ class BlastRollout:
         )
         cost = cost + cfg.self_collision_cost.weight * sc_sum
         self_colliding = self_d > collision_eps
+
+        # ---- humanoid balance (support polygon) ------------------------
+        # Parity: generic path `rollout/robot_rollout.py:200-204` / ref
+        # `cost_support_polygon.py:109`; CoM in the lane layout.
+        if (
+            cfg.support_polygon is not None
+            and cfg.support_polygon.weight > 0
+            and cfg.support_hull is not None
+        ):
+            from curobo_tpu.cost import support_polygon as sp_mod
+
+            cmx, cmy, _ = com_blast(p, Rg, pg)
+            hull = jnp.asarray(cfg.support_hull, dtype=jnp.float32)
+            com_xy = jnp.stack([cmx, cmy], axis=-1)  # (N, 2)
+            cost = cost + sp_mod.support_polygon_cost(
+                com_xy, hull, cfg.support_polygon
+            )
 
         feasible = ~(in_collision | self_colliding | oob)
 

@@ -52,7 +52,7 @@ from curobo_tpu.ops.pallas_ik import (
     BLK,
     PallasIKCost,
     _atan2_nonneg,
-    make_scene_msdf,
+    scene_msdf_chunked,
 )
 from curobo_tpu.ops import blast as blast_mod
 from curobo_tpu.robot.params import KinematicsParams
@@ -113,7 +113,7 @@ class PallasTrajCost:
     # ------------------------------------------------------------------
     def _step_cost(
         self, q_prev, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
-        with_metrics=False,
+        dpair=None, margin=None, with_metrics=False,
     ):
         """Per-step cost on (SUB, LANE) lanes. All jnp; vjp-able.
 
@@ -201,16 +201,28 @@ class PallasTrajCost:
         PX = jnp.stack([px[si] for si in live])
         PY = jnp.stack([py[si] for si in live])
         PZ = jnp.stack([pz[si] for si in live])
-        scene_msdf = make_scene_msdf(w)
-        pen_s = jnp.zeros_like(SX)
-        min_clear = jnp.full_like(cost, big)
+        # all K sweep samples concatenate into ONE min-SDF scan call: one
+        # custom_vjp region whose forward AND recomputed backward are each
+        # internally serialized (see pallas_ik._scene_scan) — K separate
+        # calls give the Mosaic scheduler K independent backward regions
+        # to interleave and the register allocator spills
+        Sl = len(live)
+        stacks = []
         for k in range(1, K + 1):
             alpha = k / K
-            msdf = scene_msdf(
+            stacks.append((
                 PX * (1 - alpha) + SX * alpha,
                 PY * (1 - alpha) + SY * alpha,
                 PZ * (1 - alpha) + SZ * alpha,
-            )
+            ))
+        IX = jnp.concatenate([s[0] for s in stacks], axis=0)
+        IY = jnp.concatenate([s[1] for s in stacks], axis=0)
+        IZ = jnp.concatenate([s[2] for s in stacks], axis=0)
+        msdf_all = scene_msdf_chunked(w, IX, IY, IZ)  # (K*Sl, ...)
+        pen_s = jnp.zeros_like(SX)
+        min_clear = jnp.full_like(cost, big)
+        for k in range(1, K + 1):
+            msdf = msdf_all[(k - 1) * Sl : k * Sl]
             # per-sphere radii stay Python-scalar constants (Mosaic
             # rejects captured ARRAY constants)
             viol = [
@@ -235,18 +247,32 @@ class PallasTrajCost:
             pen_s = pen_s * (speed + 1e-3)
         cost = cost + cc.weight * jnp.sum(pen_s, axis=0)
 
-        # ---- self collision (shared custom_vjp recompute block) --------
+        # ---- self collision (mode shared with the IK kernel) ------------
         sc_w = cfg.self_collision_cost.weight
-        sc = self._ik.sc_block_fn()(jnp.stack(sx), jnp.stack(sy), jnp.stack(sz))
-        cost = cost + sc_w * sc
         self_viol = jnp.full_like(cost, -big)
-        if with_metrics:
-            for i, j, m in self._ik._live_pairs:
-                ddx = sx[i] - sx[j]
-                ddy = sy[i] - sy[j]
-                ddz = sz[i] - sz[j]
-                dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + 1e-12)
-                self_viol = jnp.maximum(self_viol, m - dist)
+        if self._ik.self_collision_mode == "matmul":
+            flatN = int(np.prod(cost.shape))
+            sphx = jnp.stack(sx).reshape(S, flatN)
+            sphy = jnp.stack(sy).reshape(S, flatN)
+            sphz = jnp.stack(sz).reshape(S, flatN)
+            sc = self._ik.sc_matmul_cost(dpair, margin, sphx, sphy, sphz)
+            cost = cost + sc_w * sc.reshape(cost.shape)
+            if with_metrics:
+                self_viol = self._ik.sc_matmul_viol(
+                    dpair, margin, sphx, sphy, sphz
+                ).reshape(cost.shape)
+        else:
+            sc = self._ik.sc_block_fn()(
+                jnp.stack(sx), jnp.stack(sy), jnp.stack(sz)
+            )
+            cost = cost + sc_w * sc
+            if with_metrics:
+                for i, j, m in self._ik._live_pairs:
+                    ddx = sx[i] - sx[j]
+                    ddy = sy[i] - sy[j]
+                    ddz = sz[i] - sz[j]
+                    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + 1e-12)
+                    self_viol = jnp.maximum(self_viol, m - dist)
         if not with_metrics:
             return cost
 
@@ -259,7 +285,8 @@ class PallasTrajCost:
         return cost, pos_err2, rot_err2, min_clear, self_viol, oob
 
     # ------------------------------------------------------------------
-    def _horizon_loop(self, basis_ref, goal, qs, dtv, x, w, mode):
+    def _horizon_loop(self, basis_ref, goal, qs, dtv, x, w, mode,
+                      dpair=None, margin=None):
         """Shared horizon `fori_loop`. x: (n_free*D, SUB, LANE);
         w: world scalar table from PallasIKCost._read_world.
 
@@ -311,7 +338,8 @@ class PallasTrajCost:
 
                 c_h, vjp = jax.vjp(
                     lambda qp, qq, vv, aa, jj: self._step_cost(
-                        qp, qq, vv, aa, jj, goal, is_term, run_w, w
+                        qp, qq, vv, aa, jj, goal, is_term, run_w, w,
+                        dpair=dpair, margin=margin,
                     ),
                     q_p, q_h, v_h, a_h, j_h,
                 )
@@ -349,7 +377,8 @@ class PallasTrajCost:
                 q_p, q_h, v_h, a_h, j_h = states_at(h, h_prev)
                 is_term = (h == H - 1).astype(jnp.float32)
                 return cost_acc + self._step_cost(
-                    q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w, w
+                    q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
+                    dpair=dpair, margin=margin,
                 )
 
             return jax.lax.fori_loop(0, H, body, jnp.zeros((SUB, LANE), jnp.float32))
@@ -367,7 +396,7 @@ class PallasTrajCost:
             is_term = (h == H - 1).astype(jnp.float32)
             c_h, pe2_h, re2_h, clear_h, sviol_h, oob_h = self._step_cost(
                 q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
-                with_metrics=True,
+                dpair=dpair, margin=margin, with_metrics=True,
             )
             # terminal-step pose errors only
             pe2 = pe2 * (1.0 - is_term) + pe2_h * is_term
@@ -401,12 +430,16 @@ class PallasTrajCost:
         D = self.params.n_dof
         H = self.bspline.horizon
         n_ctrl = self.bspline.n_control
+        Ppad = self._ik._D_pair.shape[0]
+        S_n = self.params.n_spheres
         return [
             pl.BlockSpec((4, H, n_ctrl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 7, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_free_D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ppad, S_n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ppad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
 
     def _traj_pack(self, goal7, free, q_start, dtv):
@@ -437,12 +470,13 @@ class PallasTrajCost:
         n_free = self.bspline.n_free
 
         def kernel(
-            basis_ref, goal_ref, qs_ref, dt_ref, x_ref, wc, ws, wp, wy,
-            cost_ref, grad_ref,
+            basis_ref, goal_ref, qs_ref, dt_ref, x_ref, dpair_ref, margin_ref,
+            wc, ws, wp, wy, cost_ref, grad_ref,
         ):
             w = self._ik._read_world(wc, ws, wp, wy)
             cost, grad = self._horizon_loop(
-                basis_ref, goal_ref[0], qs_ref[0], dt_ref[0][0], x_ref[0], w, "grad"
+                basis_ref, goal_ref[0], qs_ref[0], dt_ref[0][0], x_ref[0], w,
+                "grad", dpair=dpair_ref[...], margin=margin_ref[...],
             )
             cost_ref[0] = cost
             grad_ref[0] = grad
@@ -466,7 +500,8 @@ class PallasTrajCost:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
-            )(self._basis, gb, qb, db, xb, *self._world_args(world))
+            )(self._basis, gb, qb, db, xb, self._ik._D_pair, self._ik._margin,
+              *self._world_args(world))
             c = cost.reshape(Npad)[:NP]
             g = jnp.moveaxis(grad, 1, -1).reshape(Npad, n_free * D)[:NP]
             return c, g
@@ -548,7 +583,8 @@ class PallasTrajCost:
             )
 
         def kernel(
-            seed_ref, basis_ref, goal_ref, qs_ref, dt_ref, x_ref, wc, ws, wp, wy,
+            seed_ref, basis_ref, goal_ref, qs_ref, dt_ref, x_ref,
+            dpair_ref, margin_ref, wc, ws, wp, wy,
             out_x, out_c, out_pe, out_re, out_fe, out_dt,
         ):
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -556,12 +592,20 @@ class PallasTrajCost:
             qs = qs_ref[0]
             dtv = dt_ref[0][0]
             w = self._ik._read_world(wc, ws, wp, wy)
+            dpair = dpair_ref[...]
+            margin = margin_ref[...]
 
             def cost_fn(xx):
-                return self._horizon_loop(basis_ref, goal, qs, dtv, xx, w, "cost")
+                return self._horizon_loop(
+                    basis_ref, goal, qs, dtv, xx, w, "cost",
+                    dpair=dpair, margin=margin,
+                )
 
             def cost_grad(xx):
-                return self._horizon_loop(basis_ref, goal, qs, dtv, xx, w, "grad")
+                return self._horizon_loop(
+                    basis_ref, goal, qs, dtv, xx, w, "grad",
+                    dpair=dpair, margin=margin,
+                )
 
             x = x_ref[0]
             if mppi_iters > 0:
@@ -575,7 +619,8 @@ class PallasTrajCost:
                 n_linesearch, ls_base, ls_ratio, cost_grad=cost_grad,
             )
             cost, pe, re, fe, dt_ret = self._horizon_loop(
-                basis_ref, goal, qs, dtv, best_x, w, "metrics"
+                basis_ref, goal, qs, dtv, best_x, w, "metrics",
+                dpair=dpair, margin=margin,
             )
             out_x[0] = best_x
             out_c[0] = cost
@@ -603,7 +648,8 @@ class PallasTrajCost:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
-            )(seed_arr, self._basis, gb, qb, db, xb, *self._world_args(world))
+            )(seed_arr, self._basis, gb, qb, db, xb, self._ik._D_pair,
+              self._ik._margin, *self._world_args(world))
             xb_, cb, peb, reb, feb, dtb = out
             x = jnp.moveaxis(xb_, 1, -1).reshape(Npad, nfD)[:NP]
             flat = lambda a: a.reshape(Npad)[:NP]

@@ -123,6 +123,11 @@ class TestG1IK:
         cfg = dataclasses.replace(
             cfg,
             n_seeds=6,
+            # the blast-G1 solve graph takes >30 min to compile on CPU XLA
+            # (fine on the TPU compiler — bench.py runs it there); CPU
+            # tests use the generic path, whose agreement with blast is
+            # enforced by test_blast_matches_generic_with_support_polygon
+            use_blast=False,
             lbfgs=dataclasses.replace(cfg.lbfgs, n_iters=30),
             rollout=sp_mod.configure_rollout(
                 cfg.rollout, p, np.asarray(p.retract_config)
@@ -147,6 +152,44 @@ class TestG1IK:
             f"pos_err={np.asarray(res.position_error)}"
         )
         assert float(jnp.max(res.position_error)) < cfg.position_threshold
+
+    def test_blast_matches_generic_with_support_polygon(self, g1):
+        """The B-last whole-body objective (multi-tool pose + chunked
+        self-collision + CoM support-polygon balance) must agree with the
+        generic rollout — the G1 task config now routes to blast."""
+        from curobo_tpu.cost import support_polygon as sp_mod
+        from curobo_tpu.ops.blast import BlastRollout
+        from curobo_tpu.rollout.robot_rollout import Goal, RobotRollout
+        from curobo_tpu.solver.ik import IKConfig
+
+        p = g1.params
+        cfg = IKConfig.from_yaml(
+            os.path.join(CONTENT, "..", "tasks", "ik_g1.yml")
+        ).rollout
+        cfg = sp_mod.configure_rollout(cfg, p, np.asarray(p.retract_config))
+        world = wm.empty_world()
+        rng = np.random.RandomState(11)
+        B = 4
+        q = jnp.asarray(
+            p.retract_config + rng.uniform(-0.3, 0.3, (B, p.n_dof)),
+            dtype=jnp.float32,
+        )
+        st = compute_kinematics(p, q[:1])
+        goal = Goal.from_pose(
+            Pose(st.tool_pose.position, st.tool_pose.quaternion)
+        )
+        assert BlastRollout.supports(p, goal, cfg)
+        rb = BlastRollout(p, cfg).evaluate_config(world, goal, q)
+        rg = RobotRollout(p, cfg).evaluate_config(world, goal, q)
+        np.testing.assert_allclose(
+            np.asarray(rb.cost), np.asarray(rg.cost), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rb.pos_err), np.asarray(rg.pos_err), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rb.feasible), np.asarray(rg.feasible)
+        )
 
 
 class TestG1Retarget:

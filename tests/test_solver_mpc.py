@@ -91,3 +91,44 @@ class TestMPC:
         for _ in range(3):
             res, state = solver.step(world, goal, state, js)
         assert solver._step_jit._cache_size() == n0
+
+    def test_run_ticks_matches_sequential_step(self, kin, world):
+        """Device-resident closed-loop rollout (one lax.scan dispatch) must
+        reproduce the sequential step() trajectory exactly."""
+        from curobo_tpu.geom.world import stack_worlds
+        from curobo_tpu.opt.lbfgs import LBFGSConfig
+        from curobo_tpu.opt.mppi import MPPIConfig
+
+        cfg = MPCConfig(
+            mppi=MPPIConfig(n_particles=8, n_iters=1),
+            lbfgs=LBFGSConfig(history=4, n_iters=2),
+        )
+        solver = MPCSolver(kin.params, cfg)
+        q0 = kin.params.retract_config[None]
+        st = compute_kinematics(kin.params, q0 + 0.2)
+        goal = solver.make_goal(
+            Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
+        )
+        js = JointState.from_position(q0, kin.params.joint_names)
+        T = 4
+        res, state_out = solver.run_ticks(
+            stack_worlds([world] * T), goal, solver.setup(q0), js
+        )
+        assert res.command.position.shape == (T, 1, kin.params.n_dof)
+
+        state_s = solver.setup(q0)
+        js_s = js
+        for _ in range(T):
+            r, state_s = solver.step(world, goal, state_s, js_s)
+            js_s = JointState(
+                position=r.command.position, velocity=r.command.velocity,
+                joint_names=js_s.joint_names,
+            )
+        np.testing.assert_allclose(
+            np.asarray(res.command.position[-1]),
+            np.asarray(r.command.position),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.feasible[-1]), np.asarray(r.feasible)
+        )

@@ -27,7 +27,32 @@ N, D = 32, kin.params.n_dof
 g7 = jnp.zeros((N, 7), jnp.float32).at[:, 3].set(1.0)
 q0 = jnp.zeros((N, D), jnp.float32)
 
-for cap in (4, 16):
+def probe_traj(cap, world):
+    from curobo_tpu.ops.pallas_traj import PallasTrajCost
+    from curobo_tpu.transition.bspline import BSplineConfig
+
+    ptc = PallasTrajCost(kin.params, RobotRolloutConfig(), world,
+                         BSplineConfig(degree=3, n_control=12, horizon=32))
+    solve = ptc.build_solver(lbfgs_iters=8, history=8)
+    NP = 16
+    nfD = ptc.bspline.n_free * kin.params.n_dof
+    g7 = jnp.zeros((NP, 7), jnp.float32).at[:, 3].set(1.0)
+    free = jnp.zeros((NP, nfD), jnp.float32)
+    qs = jnp.zeros((NP, kin.params.n_dof), jnp.float32)
+    dt = jnp.full((NP,), 0.05, jnp.float32)
+    f = jax.jit(lambda g, x, q, d, s, w: solve(g, x, q, d, s, world=w))
+    t0 = time.perf_counter()
+    try:
+        f.lower(g7, free, qs, dt, jnp.int32(0), world).compile()
+        print(f"traj_cap{cap}: OK  ({time.perf_counter()-t0:.0f}s)", flush=True)
+    except Exception as e:
+        msg = str(e)
+        req = [l.strip() for l in msg.splitlines() if "vmem requirement" in l]
+        print(f"traj_cap{cap}: FAIL ({time.perf_counter()-t0:.0f}s) "
+              f"type={type(e).__name__} {req[:1]} {msg[:200]!r}", flush=True)
+
+
+for cap in (16,):
     world = wm.compile_scene(
         gt.Scene().add(
             gt.Cuboid(name="table", pose=[0.4, 0.0, -0.1, 1, 0, 0, 0],
@@ -50,3 +75,4 @@ for cap in (4, 16):
               f"type={type(e).__name__} {spill[:1]} msg={msg[:400]!r}",
               flush=True)
         traceback.print_exc()
+    probe_traj(cap, world)
