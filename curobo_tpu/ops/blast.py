@@ -327,20 +327,115 @@ def scene_min_sdf_blast(world: world_mod.WorldData, sx, sy, sz):
 
 
 _SC_CHUNK = 4096  # pairs per scan step on the chunked humanoid path
+# above this pair count, the dense S x S broadcast-reduce beats gathers
+_SC_DENSE_MIN_PAIRS = 8192
+_SC_DENSE_ROW_CHUNK = 128  # sphere rows per fused broadcast-reduce block
+_sc_dense_cache = {}
+
+
+def _self_collision_dense_fn(params: KinematicsParams, activation: float):
+    """Dense gather-free self-collision for humanoid-scale pair lists.
+
+    The pair list (G1: 162k pairs over 674 spheres) becomes a symmetric
+    (S, S) margin matrix M (-BIG on non-pairs/diagonal) and the cost a
+    fused broadcast-reduce over all S^2 ordered pairs:
+
+        cost = 0.5 * sum_ij max(0, M_ij + act - ||p_i - p_j||)
+
+    TPU rationale: the reference's CUDA kernel register-caches spheres and
+    gathers pair indices (`self_collision_kernel.cuh:114`) — on TPU,
+    row gathers of (n_pairs, N) and the backward's scatter-adds are the
+    bottleneck, while the 2.8x-larger dense form is a pure VPU
+    elementwise+reduce that XLA fuses with no materialization and no
+    gather/scatter at all. custom_vjp: the backward RECOMPUTES the
+    distance blocks and reduces over j (no residuals, no scatter):
+
+        dcost/dp_i = -sum_j [active_ij / d_ij] * (p_i - p_j)
+
+    Returns f(X, Y, Z) -> (sum, max_violation); X/Y/Z (S, *lanes).
+    The max-violation output is metrics-only (its cotangent is ignored).
+    """
+    sc = params.self_collision
+    key = (id(sc), float(activation))
+    hit = _sc_dense_cache.get(key)
+    if hit is not None:
+        return hit
+    S = params.n_spheres
+    pa = np.asarray(sc.pair_a)
+    pb = np.asarray(sc.pair_b)
+    mg = np.asarray(sc.pair_margin, np.float64)
+    fin = np.isfinite(mg)
+    M = np.full((S, S), -1.0e30, np.float32)
+    M[pa[fin], pb[fin]] = mg[fin]
+    M[pb[fin], pa[fin]] = mg[fin]
+    Mj = jnp.asarray(M)
+    C = _SC_DENSE_ROW_CHUNK
+    n_chunks = (S + C - 1) // C
+
+    def _blocks(X, Y, Z):
+        """Yield (dist, Mblk, dx, dy, dz) per row chunk; shapes
+        (Ci, S, *lanes) with M broadcast over lanes."""
+        extra = (1,) * (X.ndim - 1)
+        for c in range(n_chunks):
+            sl = slice(c * C, min((c + 1) * C, S))
+            dx = X[sl][:, None] - X[None, :]
+            dy = Y[sl][:, None] - Y[None, :]
+            dz = Z[sl][:, None] - Z[None, :]
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz + 1e-12)
+            Mblk = Mj[sl].reshape(Mj[sl].shape + extra)
+            yield dist, Mblk, dx, dy, dz
+
+    @jax.custom_vjp
+    def f(X, Y, Z):
+        acc = jnp.zeros(X.shape[1:], X.dtype)
+        mx = jnp.zeros(X.shape[1:], X.dtype)
+        for dist, Mblk, _, _, _ in _blocks(X, Y, Z):
+            acc = acc + 0.5 * jnp.sum(
+                jnp.maximum(Mblk + activation - dist, 0.0), axis=(0, 1)
+            )
+            mx = jnp.maximum(mx, jnp.max(Mblk - dist, axis=(0, 1)))
+        return acc, jnp.maximum(mx, 0.0)
+
+    def f_fwd(X, Y, Z):
+        return f(X, Y, Z), (X, Y, Z)
+
+    def f_bwd(res, g):
+        gs = g[0]  # max-violation cotangent (g[1]) is metrics-only
+        X, Y, Z = res
+        gx_rows, gy_rows, gz_rows = [], [], []
+        for dist, Mblk, dx, dy, dz in _blocks(X, Y, Z):
+            coef = jnp.where(
+                (Mblk + activation - dist) > 0.0, 1.0 / dist, 0.0
+            )
+            gx_rows.append(-gs * jnp.sum(coef * dx, axis=1))
+            gy_rows.append(-gs * jnp.sum(coef * dy, axis=1))
+            gz_rows.append(-gs * jnp.sum(coef * dz, axis=1))
+        return (
+            jnp.concatenate(gx_rows, axis=0),
+            jnp.concatenate(gy_rows, axis=0),
+            jnp.concatenate(gz_rows, axis=0),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    _sc_dense_cache[key] = f
+    return f
 
 
 def self_collision_blast(params: KinematicsParams, sx, sy, sz, activation: float):
     """(summed activated violation (,...), max violation (,...)).
 
-    Humanoid-scale pair lists (G1: 162k) are CHUNKED under a
-    rematerialized `lax.scan` — materializing (n_pairs, N) at optimizer
-    batch sizes is GBs and crashes the XLA TPU compile (see
+    Humanoid-scale pair lists (G1: 162k) take the dense gather-free
+    S x S broadcast-reduce (`_self_collision_dense_fn`); medium lists a
+    rematerialized chunked `lax.scan` — materializing (n_pairs, N) at
+    optimizer batch sizes is GBs and crashes the XLA TPU compile (see
     `geom/self_collision.py` for the same treatment on the generic path).
     """
     sc = params.self_collision
     pa = np.asarray(sc.pair_a)
     pb = np.asarray(sc.pair_b)
     P = len(pa)
+    if P > _SC_DENSE_MIN_PAIRS:
+        return _self_collision_dense_fn(params, activation)(sx, sy, sz)
     if P <= _SC_CHUNK:
         margin_shape = (P,) + (1,) * (sx.ndim - 1)
         margin = sc.pair_margin.reshape(margin_shape)

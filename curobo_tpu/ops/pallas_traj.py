@@ -52,7 +52,7 @@ from curobo_tpu.ops.pallas_ik import (
     BLK,
     PallasIKCost,
     _atan2_nonneg,
-    scene_msdf_chunked,
+    scene_msdf_fori,
 )
 from curobo_tpu.ops import blast as blast_mod
 from curobo_tpu.robot.params import KinematicsParams
@@ -112,22 +112,32 @@ class PallasTrajCost:
 
     # ------------------------------------------------------------------
     def _step_cost(
-        self, q_prev, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
+        self, q_prev, q_h, v_h, a_h, j_h, goal, is_term, run_w,
         dpair=None, margin=None, with_metrics=False,
     ):
-        """Per-step cost on (SUB, LANE) lanes. All jnp; vjp-able.
+        """Per-step cost EXCEPT scene collision, on (SUB, LANE) lanes.
+        All jnp; vjp-able.
 
         q_prev/q_h: (D, SUB, LANE); v/a/j likewise; is_term in {0.,1.}.
-        with_metrics=True (forward-only) additionally returns
-        (pos_err2, rot_err2, min_clear, self_viol, oob01) for the step.
+        Returns (cost, IX, IY, IZ, SPD): the concatenated swept sample
+        stacks (K*Sl, SUB, LANE) + the CHOMP speed factor (Sl, SUB, LANE)
+        so the caller composes the scene term around it — the obstacle
+        scan is a runtime `fori_loop` over SMEM refs (`scene_msdf_fori`)
+        that must stay OUTSIDE autodiff (see `_swept_scene`).
+        with_metrics=True (forward-only) appends
+        (pos_err2, rot_err2, self_viol, oob01) for the step.
         """
         p, cfg = self.params, self.cfg
         D = p.n_dof
 
-        Rg, pg, sx, sy, sz = blast_mod.fk_blast(p, q_h)
         _, _, px, py, pz = blast_mod.fk_blast(p, q_prev)
+        # serialize the two FK graphs: gate q_h on the q_prev FK's output
+        # (always-true select, opaque to the compiler) so their ~40 MB of
+        # temporaries can't be live concurrently (see pallas_ik._scene_scan)
+        fk_gate = px[0] < 1.0e9
+        q_h = jnp.where(fk_gate, q_h, jnp.zeros_like(q_h))
+        Rg, pg, sx, sy, sz = blast_mod.fk_blast(p, q_h)
         S = p.n_spheres
-        radii = self._ik._radii
 
         # ---- pose (terminal + run weight) -----------------------------
         ti = p.tool_frame_idx[0]
@@ -185,13 +195,8 @@ class PallasTrajCost:
             if cfg.jerk_weight > 0:
                 cost = cost + cfg.jerk_weight / H * j_h[d] * j_h[d]
 
-        # ---- swept scene collision ------------------------------------
-        # Spheres stack on a leading axis; min-SDF per sweep sample is the
-        # shared custom_vjp scan (analytic recomputed backward) so the
-        # obstacle loop unrolls only K_sweep x capacity times, not
-        # x n_spheres too (see pallas_ik.make_scene_msdf).
+        # ---- swept sample stacks (scene term composed by the caller) ---
         cc = cfg.collision_cost
-        act = cc.activation_distance
         K = cc.sweep_steps if cfg.use_swept_collision else 1
         big = 1.0e6
         live = self._ik._live_spheres
@@ -201,12 +206,6 @@ class PallasTrajCost:
         PX = jnp.stack([px[si] for si in live])
         PY = jnp.stack([py[si] for si in live])
         PZ = jnp.stack([pz[si] for si in live])
-        # all K sweep samples concatenate into ONE min-SDF scan call: one
-        # custom_vjp region whose forward AND recomputed backward are each
-        # internally serialized (see pallas_ik._scene_scan) — K separate
-        # calls give the Mosaic scheduler K independent backward regions
-        # to interleave and the register allocator spills
-        Sl = len(live)
         stacks = []
         for k in range(1, K + 1):
             alpha = k / K
@@ -218,34 +217,14 @@ class PallasTrajCost:
         IX = jnp.concatenate([s[0] for s in stacks], axis=0)
         IY = jnp.concatenate([s[1] for s in stacks], axis=0)
         IZ = jnp.concatenate([s[2] for s in stacks], axis=0)
-        msdf_all = scene_msdf_chunked(w, IX, IY, IZ)  # (K*Sl, ...)
-        pen_s = jnp.zeros_like(SX)
-        min_clear = jnp.full_like(cost, big)
-        for k in range(1, K + 1):
-            msdf = msdf_all[(k - 1) * Sl : k * Sl]
-            # per-sphere radii stay Python-scalar constants (Mosaic
-            # rejects captured ARRAY constants)
-            viol = [
-                jnp.maximum(0.0, act + float(radii[si]) - msdf[idx])
-                for idx, si in enumerate(live)
-            ]
-            pen_s = pen_s + jnp.stack(viol)
-            if with_metrics and k == K:
-                # endpoint clearance (blast feasibility semantics,
-                # `ops/blast.py:609-613`)
-                for idx, si in enumerate(live):
-                    min_clear = jnp.minimum(
-                        min_clear, msdf[idx] - float(radii[si])
-                    )
-        pen_s = pen_s / K
         if cc.speed_metric:
             # CHOMP-style motion-aware scaling (blast parity:
             # `ops/blast.py:601-606`, ref `wp_speed_metric.py:10`)
-            speed = jnp.sqrt(
+            SPD = jnp.sqrt(
                 (SX - PX) ** 2 + (SY - PY) ** 2 + (SZ - PZ) ** 2 + 1e-12
-            )
-            pen_s = pen_s * (speed + 1e-3)
-        cost = cost + cc.weight * jnp.sum(pen_s, axis=0)
+            ) + 1e-3
+        else:
+            SPD = jnp.ones_like(SX)
 
         # ---- self collision (mode shared with the IK kernel) ------------
         sc_w = cfg.self_collision_cost.weight
@@ -274,7 +253,7 @@ class PallasTrajCost:
                     dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz + 1e-12)
                     self_viol = jnp.maximum(self_viol, m - dist)
         if not with_metrics:
-            return cost
+            return cost, IX, IY, IZ, SPD
 
         oob = jnp.zeros_like(cost)
         lo_np = np.asarray(lim.lower, np.float64)
@@ -282,13 +261,64 @@ class PallasTrajCost:
         for d in range(D):
             bad = (q_h[d] < lo_np[d] - 1e-4) | (q_h[d] > hi_np[d] + 1e-4)
             oob = jnp.maximum(oob, bad.astype(cost.dtype))
-        return cost, pos_err2, rot_err2, min_clear, self_viol, oob
+        return cost, IX, IY, IZ, SPD, pos_err2, rot_err2, self_viol, oob
+
+    def _swept_scene(self, refs, IX, IY, IZ, SPD, want_grad,
+                     want_clear=False):
+        """Weighted swept scene-collision penalty of the (K*Sl, ...) sample
+        stacks from `_step_cost`, via the runtime obstacle scan
+        (`pallas_ik.scene_msdf_fori`) — compiled program size independent
+        of the world capacity envelope.
+
+        Returns (scene_cost, cotangents, min_clear): cotangents =
+        (d/dIX, d/dIY, d/dIZ, d/dSPD) when want_grad (chained through the
+        step vjp as output cotangents — exact, since d(scene)/d(samples)
+        is analytic); min_clear is the endpoint (k=K) clearance when
+        want_clear (blast feasibility semantics, `ops/blast.py:609-613`).
+        """
+        cc = self.cfg.collision_cost
+        act = cc.activation_distance
+        wgt = cc.weight
+        live = self._ik._live_spheres
+        radii = self._ik._radii
+        Sl = len(live)
+        K = IX.shape[0] // Sl
+        big = 1.0e6
+        msdf_all, (gx, gy, gz) = scene_msdf_fori(
+            refs, self._ik._caps, IX, IY, IZ, want_grad
+        )
+        pen_rows = [None] * Sl  # per live sphere: (1/K) sum_k viol_k
+        ct_rows = [] if want_grad else None  # row-ordered (k major)
+        min_clear = jnp.full_like(IX[0], big) if want_clear else None
+        for k in range(K):
+            for idx, si in enumerate(live):
+                r = float(radii[si])
+                viol = act + r - msdf_all[k * Sl + idx]
+                v = jnp.maximum(0.0, viol)
+                pen_rows[idx] = v if pen_rows[idx] is None else pen_rows[idx] + v
+                if want_grad:
+                    # cotangent on sample (k, idx): -wgt * SPD_idx / K
+                    # where the penalty is active
+                    ct_rows.append(
+                        jnp.where(viol > 0, -wgt / K * SPD[idx], 0.0)
+                    )
+                if want_clear and k == K - 1:
+                    min_clear = jnp.minimum(
+                        min_clear, msdf_all[k * Sl + idx] - r
+                    )
+        pen = jnp.stack(pen_rows) / K  # (Sl, ...)
+        scene_c = wgt * jnp.sum(pen * SPD, axis=0)
+        if not want_grad:
+            return scene_c, None, min_clear
+        ct = jnp.stack(ct_rows)  # (K*Sl, ...)
+        ct_spd = wgt * pen  # cotangent on SPD_i: wgt * pen_i
+        return scene_c, (ct * gx, ct * gy, ct * gz, ct_spd), min_clear
 
     # ------------------------------------------------------------------
-    def _horizon_loop(self, basis_ref, goal, qs, dtv, x, w, mode,
+    def _horizon_loop(self, basis_ref, goal, qs, dtv, x, refs, mode,
                       dpair=None, margin=None):
         """Shared horizon `fori_loop`. x: (n_free*D, SUB, LANE);
-        w: world scalar table from PallasIKCost._read_world.
+        refs: (wc, ws, wp, wy) world SMEM refs (or jnp arrays on CPU).
 
         mode: "grad" -> (cost, grad_free); "cost" -> cost;
         "metrics" -> (cost, pos_err, rot_err, feasible01, dt_retimed).
@@ -336,14 +366,20 @@ class PallasTrajCost:
                 q_p, q_h, v_h, a_h, j_h = states_at(h, h_prev)
                 is_term = (h == H - 1).astype(jnp.float32)
 
-                c_h, vjp = jax.vjp(
+                (c_h, IX, IY, IZ, SPD), vjp = jax.vjp(
                     lambda qp, qq, vv, aa, jj: self._step_cost(
-                        qp, qq, vv, aa, jj, goal, is_term, run_w, w,
+                        qp, qq, vv, aa, jj, goal, is_term, run_w,
                         dpair=dpair, margin=margin,
                     ),
                     q_p, q_h, v_h, a_h, j_h,
                 )
-                g_qp, g_qh, g_v, g_a, g_j = vjp(jnp.ones_like(c_h))
+                scene_c, (ctx, cty, ctz, ctspd), _ = self._swept_scene(
+                    refs, IX, IY, IZ, SPD, want_grad=True
+                )
+                c_h = c_h + scene_c
+                g_qp, g_qh, g_v, g_a, g_j = vjp(
+                    (jnp.ones_like(c_h), ctx, cty, ctz, ctspd)
+                )
 
                 # analytic spline backward: dctrl += B[h]^T g
                 updates = []
@@ -376,10 +412,14 @@ class PallasTrajCost:
                 h_prev = jnp.maximum(h - 1, 0)
                 q_p, q_h, v_h, a_h, j_h = states_at(h, h_prev)
                 is_term = (h == H - 1).astype(jnp.float32)
-                return cost_acc + self._step_cost(
-                    q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
+                c_h, IX, IY, IZ, SPD = self._step_cost(
+                    q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w,
                     dpair=dpair, margin=margin,
                 )
+                scene_c, _, _ = self._swept_scene(
+                    refs, IX, IY, IZ, SPD, want_grad=False
+                )
+                return cost_acc + c_h + scene_c
 
             return jax.lax.fori_loop(0, H, body, jnp.zeros((SUB, LANE), jnp.float32))
 
@@ -394,10 +434,16 @@ class PallasTrajCost:
             h_prev = jnp.maximum(h - 1, 0)
             q_p, q_h, v_h, a_h, j_h = states_at(h, h_prev)
             is_term = (h == H - 1).astype(jnp.float32)
-            c_h, pe2_h, re2_h, clear_h, sviol_h, oob_h = self._step_cost(
-                q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w, w,
-                dpair=dpair, margin=margin, with_metrics=True,
+            c_h, IX, IY, IZ, SPD, pe2_h, re2_h, sviol_h, oob_h = (
+                self._step_cost(
+                    q_p, q_h, v_h, a_h, j_h, goal, is_term, run_w,
+                    dpair=dpair, margin=margin, with_metrics=True,
+                )
             )
+            scene_c, _, clear_h = self._swept_scene(
+                refs, IX, IY, IZ, SPD, want_grad=False, want_clear=True
+            )
+            c_h = c_h + scene_c
             # terminal-step pose errors only
             pe2 = pe2 * (1.0 - is_term) + pe2_h * is_term
             re2 = re2 * (1.0 - is_term) + re2_h * is_term
@@ -473,9 +519,9 @@ class PallasTrajCost:
             basis_ref, goal_ref, qs_ref, dt_ref, x_ref, dpair_ref, margin_ref,
             wc, ws, wp, wy, cost_ref, grad_ref,
         ):
-            w = self._ik._read_world(wc, ws, wp, wy)
             cost, grad = self._horizon_loop(
-                basis_ref, goal_ref[0], qs_ref[0], dt_ref[0][0], x_ref[0], w,
+                basis_ref, goal_ref[0], qs_ref[0], dt_ref[0][0], x_ref[0],
+                (wc, ws, wp, wy),
                 "grad", dpair=dpair_ref[...], margin=margin_ref[...],
             )
             cost_ref[0] = cost
@@ -591,19 +637,19 @@ class PallasTrajCost:
             goal = goal_ref[0]
             qs = qs_ref[0]
             dtv = dt_ref[0][0]
-            w = self._ik._read_world(wc, ws, wp, wy)
+            refs = (wc, ws, wp, wy)
             dpair = dpair_ref[...]
             margin = margin_ref[...]
 
             def cost_fn(xx):
                 return self._horizon_loop(
-                    basis_ref, goal, qs, dtv, xx, w, "cost",
+                    basis_ref, goal, qs, dtv, xx, refs, "cost",
                     dpair=dpair, margin=margin,
                 )
 
             def cost_grad(xx):
                 return self._horizon_loop(
-                    basis_ref, goal, qs, dtv, xx, w, "grad",
+                    basis_ref, goal, qs, dtv, xx, refs, "grad",
                     dpair=dpair, margin=margin,
                 )
 
@@ -619,7 +665,7 @@ class PallasTrajCost:
                 n_linesearch, ls_base, ls_ratio, cost_grad=cost_grad,
             )
             cost, pe, re, fe, dt_ret = self._horizon_loop(
-                basis_ref, goal, qs, dtv, best_x, w, "metrics",
+                basis_ref, goal, qs, dtv, best_x, refs, "metrics",
                 dpair=dpair, margin=margin,
             )
             out_x[0] = best_x

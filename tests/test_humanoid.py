@@ -69,6 +69,52 @@ class TestG1Model:
         assert d.shape == (B,)
         assert np.isfinite(np.asarray(d)).all()
 
+    def test_dense_self_collision_matches_chunked(self, g1):
+        """The gather-free dense S x S blast self-collision (G1's 162k-pair
+        fast path) must agree with the chunked pair scan — values AND the
+        recomputed custom_vjp gradient."""
+        import curobo_tpu.ops.blast as bl
+
+        p = g1.params
+        S = p.n_spheres
+        N = 16
+        rng = np.random.RandomState(3)
+        X = jnp.asarray(rng.uniform(-0.6, 0.6, (S, N)), jnp.float32)
+        Y = jnp.asarray(rng.uniform(-0.6, 0.6, (S, N)), jnp.float32)
+        Z = jnp.asarray(rng.uniform(0.0, 1.2, (S, N)), jnp.float32)
+        act = 0.01
+
+        dense = bl._self_collision_dense_fn(p, act)
+        s_d, m_d = jax.jit(dense)(X, Y, Z)
+        g_d = jax.jit(jax.grad(lambda x: jnp.sum(dense(x, Y, Z)[0])))(X)
+
+        orig = bl._SC_DENSE_MIN_PAIRS
+        bl._SC_DENSE_MIN_PAIRS = 10**9  # force the chunked scan path
+        try:
+            chunked = jax.jit(
+                lambda a, b, c: bl.self_collision_blast(p, a, b, c, act)
+            )
+            s_c, m_c = chunked(X, Y, Z)
+            g_c = jax.jit(
+                jax.grad(
+                    lambda x: jnp.sum(
+                        bl.self_collision_blast(p, x, Y, Z, act)[0]
+                    )
+                )
+            )(X)
+        finally:
+            bl._SC_DENSE_MIN_PAIRS = orig
+
+        np.testing.assert_allclose(
+            np.asarray(s_d), np.asarray(s_c), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_d), np.asarray(m_c), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_d), np.asarray(g_c), rtol=1e-4, atol=1e-5
+        )
+
 
 class TestG1IK:
     def test_whole_body_reach(self, g1):

@@ -60,9 +60,9 @@ def problem(setup):
 
     goal_blk = jnp.moveaxis(goal7.reshape(SUB, LANE, 7), -1, 0)
     q_blk = jnp.moveaxis(q0.reshape(SUB, LANE, D), -1, 0)
-    w = pik._read_world(*pack_world_arrays(world))
+    refs = pack_world_arrays(world)
     return dict(N=N, D=D, q0=q0, qg=qg, goal=goal, goal7=goal7,
-                goal_blk=goal_blk, q_blk=q_blk, w=w)
+                goal_blk=goal_blk, q_blk=q_blk, refs=refs)
 
 
 def _clip_fn(pik):
@@ -75,11 +75,10 @@ class TestMetricsTail:
         metrics pass it replaced in IKSolver._solve_impl_pallas."""
         kin, world, cfg, blast, pik = setup
         p = problem
-        c, pe, re, fe = jax.jit(
-            lambda q: pik._block_cost(
-                q, p["goal_blk"], pik._D_pair, pik._margin, p["w"], with_metrics=True
-            )
-        )(p["q_blk"])
+        _, _, _, metrics_fn = pik._cost_fns(
+            p["refs"], p["goal_blk"], pik._D_pair, pik._margin
+        )
+        c, pe, re, fe = jax.jit(metrics_fn)(p["q_blk"])
         res = blast.evaluate_config(world, p["goal"], p["q0"])
         N = p["N"]
         np.testing.assert_allclose(
@@ -104,14 +103,16 @@ class TestInKernelLBFGS:
         p = problem
         clip_q = _clip_fn(pik)
 
-        def cost_fn(qq):
-            return pik._block_cost(qq, p["goal_blk"], pik._D_pair, pik._margin, p["w"])
+        cost_fn, cost_grad, _, _ = pik._cost_fns(
+            p["refs"], p["goal_blk"], pik._D_pair, pik._margin
+        )
 
         c0 = jax.jit(cost_fn)(p["q_blk"])
         best_x, best_c = jax.jit(
             lambda q: pik._lbfgs_loop(
                 cost_fn, clip_q, q, n_iters=20, history=8, max_step=1.0,
                 n_linesearch=6, ls_base=1.5, ls_ratio=0.45,
+                cost_grad=cost_grad,
             )
         )(p["q_blk"])
         assert float(jnp.mean(best_c)) < 0.2 * float(jnp.mean(c0))
@@ -136,8 +137,9 @@ class TestInKernelMPPI:
         p = problem
         clip_q = _clip_fn(pik)
 
-        def cost_fn(qq):
-            return pik._block_cost(qq, p["goal_blk"], pik._D_pair, pik._margin, p["w"])
+        cost_fn, _, _, _ = pik._cost_fns(
+            p["refs"], p["goal_blk"], pik._D_pair, pik._margin
+        )
 
         def normal_fn(key, shape):
             key, sub = jax.random.split(key)
@@ -167,8 +169,9 @@ class TestInKernelMPPI:
         p = problem
         clip_q = _clip_fn(pik)
 
-        def cost_fn(qq):
-            return pik._block_cost(qq, p["goal_blk"], pik._D_pair, pik._margin, p["w"])
+        cost_fn, _, _, _ = pik._cost_fns(
+            p["refs"], p["goal_blk"], pik._D_pair, pik._margin
+        )
 
         def normal_fn(key, shape):
             key, sub = jax.random.split(key)

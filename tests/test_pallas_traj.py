@@ -93,7 +93,7 @@ def problem(setup):
         qs=to_block(q_start, D),
         x=to_block(free_flat, nfD),
         dt=dtv.reshape(SUB, LANE),
-        w=ptc._ik._read_world(*pack_world_arrays(world)),
+        w=pack_world_arrays(world),
     )
     return dict(
         NP=NP, D=D, nfD=nfD, q_start=q_start, free0=free0, free_flat=free_flat,

@@ -26,7 +26,7 @@ from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
 from curobo_tpu.rollout.robot_rollout import Goal
 from curobo_tpu.types.pose import Pose
 from curobo_tpu.ops.blast import BlastRollout
-from curobo_tpu.ops.pallas_ik import SUB, LANE, BLK
+from curobo_tpu.ops.pallas_ik import SUB, LANE, BLK, pack_world_arrays
 from curobo_tpu.ops.pallas_traj import PallasTrajCost
 from curobo_tpu.solver.trajopt import TrajOptConfig
 from curobo_tpu.transition.bspline import BSplineConfig, BSplineTransition
@@ -80,6 +80,7 @@ qs_blk = to_block(q_start, D)
 x_blk = to_block(free_flat, nfD)
 dt_blk = dtv.reshape(SUB, LANE)
 basis = ptc._basis
+refs = pack_world_arrays(world)
 
 print("setup done", flush=True)
 
@@ -95,13 +96,13 @@ gb = jax.grad(lambda f: jnp.sum(blast_cost(f)))(free_flat)
 print("blast done", flush=True)
 
 t0 = time.time()
-ck_blk = jax.jit(lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, "cost"))(x_blk)
+ck_blk = jax.jit(lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, refs, "cost"))(x_blk)
 ck = ck_blk.reshape(NP)
 print("kernel cost done", time.time() - t0, flush=True)
 
 t0 = time.time()
 ckg, gk_blk = jax.jit(
-    lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, "grad")
+    lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, refs, "grad")
 )(x_blk)
 gk = jnp.moveaxis(gk_blk, 0, -1).reshape(NP, nfD)
 print("kernel grad done", time.time() - t0, flush=True)
@@ -113,7 +114,7 @@ print("grad rel err: med", np.median(rel_g), "max", np.max(rel_g))
 
 # metrics mode
 cm, pe, re, fe, dtr = jax.jit(
-    lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, "metrics")
+    lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, refs, "metrics")
 )(x_blk)
 traj = trans.rollout(free0, q_start, dtv)
 res = blast.evaluate_trajectory(world, goal, traj)
