@@ -129,14 +129,20 @@ def bench_franka_cfik():
 
 
 def bench_g1_cfik():
-    """G1 humanoid whole-body CF-IK (4 tool frames, support-polygon balance,
-    162k self-collision pairs) vs reference 526.87 ms / 98.4 %."""
+    """G1 humanoid whole-body CF-IK vs the reference's 526.87 ms / 98.4 %
+    row, matching its protocol (`benchmark/ik_benchmark.py:50-120`):
+    4 tool frames (both hands + both feet), table world
+    (`configs/scene/collision_table.yml`), batch 100, goals = FK of
+    collision-free SAMPLED configs (full joint range, floating base pinned
+    at retract), 5 mm position threshold, LM seed pool (their
+    `seed_solver_num_seeds=128`), self-collision on (162k pairs)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
-    from curobo_tpu.cost import support_polygon as sp_mod
+    from curobo_tpu.collision.robot_scene import RobotSceneCollision
+    from curobo_tpu.geom import types as gt
     from curobo_tpu.geom import world as wm
     from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
     from curobo_tpu.solver.ik import IKConfig, IKSolver
@@ -145,20 +151,38 @@ def bench_g1_cfik():
     kin = Kinematics.from_robot_yaml("curobo_tpu/content/robots/unitree_g1.yml")
     p = kin.params
     cfg = IKConfig.from_yaml("curobo_tpu/content/tasks/ik_g1.yml")
+    # the reference CF-IK row has no balance term; the support-polygon
+    # whole-body slice is covered by tests/test_humanoid.py
     cfg = dataclasses.replace(
         cfg,
-        rollout=sp_mod.configure_rollout(cfg.rollout, p, np.asarray(p.retract_config)),
+        position_threshold=0.005,
+        rollout=dataclasses.replace(cfg.rollout, support_polygon=None),
     )
-    world = wm.empty_world()
+    world = wm.compile_scene(
+        gt.Scene().add(
+            gt.Cuboid(name="table", pose=[0.0, 0.0, -0.2, 1, 0, 0, 0],
+                      dims=[4.0, 4.0, 0.2])
+        )
+    )
 
-    B = 20
+    B = 100
+    # collision-free sampled goal configs, floating base pinned at retract
+    # (the reference G1 has a fixed base; ours is floating for retargeting)
+    rsc = RobotSceneCollision(p)
     rng = np.random.RandomState(7)
-    body = (np.arange(p.n_dof) >= 6).astype(np.float32)
-    q_goal = jnp.asarray(
-        np.asarray(p.retract_config)
-        + rng.uniform(-0.25, 0.25, (B, p.n_dof)) * body,
-        jnp.float32,
-    )
+    lo = np.maximum(np.asarray(p.joint_limits.lower), -np.pi)
+    hi = np.minimum(np.asarray(p.joint_limits.upper), np.pi)
+    retract = np.asarray(p.retract_config)
+    base = np.arange(p.n_dof) < 6
+    q_pool = []
+    got = 0
+    while got < B:
+        cand = rng.uniform(lo, hi, (4 * B, p.n_dof)).astype(np.float32)
+        cand[:, base] = retract[base]
+        ok = np.asarray(rsc.validate(world, jnp.asarray(cand)))
+        q_pool.append(cand[ok])
+        got += int(ok.sum())
+    q_goal = jnp.asarray(np.concatenate(q_pool)[:B])
     st = compute_kinematics(p, q_goal)
     goals = Pose(st.tool_pose.position, st.tool_pose.quaternion)  # (B, 4)
     solver = IKSolver(p, cfg)
@@ -171,9 +195,11 @@ def bench_g1_cfik():
         res = solver.solve_pose(world, goals, seed_state=p.retract_config)
         res.solution.block_until_ready()
         times.append(time.perf_counter() - t0)
+    pe = np.asarray(res.position_error)
     return dict(
         ms=round(float(np.min(times) * 1000.0), 2),
         success_rate=round(float(jnp.mean(res.success.astype(jnp.float32))), 4),
+        position_error_mm_p90=round(float(np.percentile(pe, 90) * 1e3), 4),
         batch=B,
         vs_baseline=round(BASELINE_G1_CFIK_MS / (np.min(times) * 1000.0), 3),
     )

@@ -80,6 +80,13 @@ def main():
     # keyed, so one world compiles for the whole suite)
     for i in range(min(args.warmup, len(problems))):
         run(problems[i], jax.random.PRNGKey(1000 + i))
+    # also compile the RETRY path (attempt >= 1: fresh IK seeds + PRM graph
+    # seeding + path-seeded trajopt) with an unreachable goal, so a retry
+    # mid-suite never pays a first compile (the reference warms its CUDA
+    # graphs the same way before timing)
+    far = dict(problems[0])
+    far["goal_pose"] = [2.5, 2.5, 2.5] + list(far["goal_pose"][3:])
+    run(far, jax.random.PRNGKey(999))
 
     rows = []
     for i, prob in enumerate(problems):

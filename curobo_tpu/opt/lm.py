@@ -59,21 +59,27 @@ class SeedIK:
         self._solve_jit = jax.jit(self._solve)
 
     def _residual_and_jac(self, q, goal_pos, goal_quat):
+        """goal_pos (..., T, 3) / goal_quat (..., T, 4) over ALL tool
+        frames — multi-tool residual (T*6,) like the reference's
+        multi-link seed solve (`seed_ik_solver.py:48` with
+        `override_iters_for_multi_link_ik`). Single-tool callers pass
+        T=1."""
         p = self.params
         st = kin_mod.compute_kinematics(p, q, compute_jacobian=True)
-        # residual uses tool frame 0 (seed IK is single-tool)
-        dp = (st.tool_pose.position[..., 0, :] - goal_pos) * self.cfg.position_weight
+        D = q.shape[-1]
+        T = goal_pos.shape[-2]
+        dp = (st.tool_pose.position - goal_pos) * self.cfg.position_weight
         dr = (
-            qm.quat_error(goal_quat, st.tool_pose.quaternion[..., 0, :])
+            qm.quat_error(goal_quat, st.tool_pose.quaternion)
             * self.cfg.rotation_weight
-        )
-        r = jnp.concatenate([dp, dr], axis=-1)  # (..., 6)
-        J = st.jacobian[..., 0, :, :]  # (..., 6, D)
+        )  # (..., T, 3)
+        r = jnp.concatenate([dp, dr], axis=-1)  # (..., T, 6)
+        J = st.jacobian  # (..., T, 6, D)
         # The rotation residual is the log-map error expressed in the GOAL
         # frame; the angular-velocity Jacobian rows are world-frame omega.
         # Rotate them: J_rot ~= R_goal^T J_w (small-error right-Jacobian
         # approximation — damping absorbs the rest).
-        Rg = qm.quat_to_matrix(goal_quat)  # (..., 3, 3)
+        Rg = qm.quat_to_matrix(goal_quat)  # (..., T, 3, 3)
         J_rot = jnp.einsum("...ji,...jd->...id", Rg, J[..., 3:, :])
         J = jnp.concatenate([J[..., :3, :], J_rot], axis=-2)
         W = jnp.concatenate(
@@ -82,7 +88,10 @@ class SeedIK:
                 jnp.full((3,), self.cfg.rotation_weight, q.dtype),
             ]
         )
-        return r, J * W[:, None]
+        J = J * W[:, None]
+        # fold tool frames into one residual stack: (..., T*6[, D])
+        lead = r.shape[:-2]
+        return r.reshape(lead + (T * 6,)), J.reshape(lead + (T * 6, D))
 
     def _solve(self, q0, goal_pos, goal_quat):
         p = self.params
@@ -118,5 +127,9 @@ class SeedIK:
         return best_q, best_c
 
     def solve(self, goal_pose: Pose, q0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """goal_pose batch (...,), q0 (..., D) -> (q (..., D), sq-residual (...,))."""
-        return self._solve_jit(q0, goal_pose.position, goal_pose.quaternion)
+        """goal_pose batch (...,) or (..., T), q0 (..., D) ->
+        (q (..., D), sq-residual (...,))."""
+        gp, gq = goal_pose.position, goal_pose.quaternion
+        if gp.ndim == q0.ndim:  # no tool axis: single-tool caller
+            gp, gq = gp[..., None, :], gq[..., None, :]
+        return self._solve_jit(q0, gp, gq)

@@ -45,6 +45,10 @@ class IKConfig:
     # for success rate at low iteration counts.
     use_lm_seed: bool = False
     lm_seed_iters: int = 10
+    # LM seed POOL (reference `seed_solver_num_seeds`, 128 for G1): refine
+    # this many seeds with LM and keep the best `n_seeds` by LM residual
+    # for the optimizer stages. 0 = refine exactly n_seeds in place.
+    lm_seed_pool: int = 0
     # Pallas-path analog of the LM warm start: a pose-only (no collision
     # terms) in-kernel L-BFGS stage before MPPI/L-BFGS — same role at
     # ~10x lower per-eval cost, and no extra kernel dispatch.
@@ -150,7 +154,7 @@ class IKSolver:
         cfg = self.cfg
         B, S, D = seeds.shape
         goal_s = goal.tile_seeds(S)
-        seeds = self._lm_warm_start(goal_s, seeds)
+        seeds, _ = self._lm_warm_start(goal_s, seeds)
         goal7 = jnp.concatenate(
             [goal_s.goal_pos[..., 0, 0, :], goal_s.goal_quat[..., 0, 0, :]], axis=-1
         )  # (B, S, 7)
@@ -189,15 +193,20 @@ class IKSolver:
         )
 
     # ------------------------------------------------------------------
-    def generate_seeds(self, batch: int, seed_state: Optional[jnp.ndarray] = None
-                       ) -> jnp.ndarray:
-        """(B, S, D): seed 0 = retract (or provided state), rest Halton."""
+    def generate_seeds(self, batch: int, seed_state: Optional[jnp.ndarray] = None,
+                       n: Optional[int] = None) -> jnp.ndarray:
+        """(B, S, D): seed 0 = retract (or provided state), rest Halton.
+        n overrides the seed count (LM seed-pool oversampling)."""
         p = self.params
-        S = self.cfg.n_seeds
+        S = n if n is not None else self.cfg.n_seeds
         lo, hi = p.joint_limits.lower, p.joint_limits.upper
         # clamp unbounded (continuous) joints for seeding purposes
         lo_c = jnp.maximum(lo, -np.pi)
         hi_c = jnp.minimum(hi, np.pi)
+        if S - 1 > self._seed_bank.shape[0]:
+            self._seed_bank = jnp.asarray(
+                halton_sequence(S - 1, p.n_dof), dtype=jnp.float32
+            )
         halton = lo_c + (hi_c - lo_c) * self._seed_bank[: S - 1]  # (S-1, D)
         first = (
             p.retract_config if seed_state is None else seed_state
@@ -207,29 +216,38 @@ class IKSolver:
         return jnp.concatenate([first[:, None], rest], axis=1)
 
     # ------------------------------------------------------------------
-    def _lm_warm_start(self, goal_s: Goal, seeds: jnp.ndarray) -> jnp.ndarray:
+    def _lm_warm_start(self, goal_s: Goal, seeds: jnp.ndarray):
         """Pose-only LM refinement of every seed (inlines into the solve
-        jit). Single-goal single-tool only; other shapes pass through."""
+        jit). Single-goal only (any tool count — the multi-tool residual
+        stacks all frames); goal sets pass through.
+
+        Returns (seeds, lm_cost-or-None)."""
         if self._seed_ik is None:
-            return seeds
+            return seeds, None
         gp, gq = goal_s.goal_pos, goal_s.goal_quat
-        if gp.shape[-2] != 1 or gp.shape[-3] != 1:
-            return seeds
-        q, _ = self._seed_ik._solve(seeds, gp[..., 0, 0, :], gq[..., 0, 0, :])
-        return q
+        if gp.shape[-3] != 1:
+            return seeds, None
+        return self._seed_ik._solve(seeds, gp[..., 0, :, :], gq[..., 0, :, :])
 
     def _solve_impl(
         self,
         world: world_mod.WorldData,
         goal: Goal,  # batch (B,)
-        seeds: jnp.ndarray,  # (B, S, D)
+        seeds: jnp.ndarray,  # (B, S, D) — or (B, P, D) with an LM pool
         key: jax.Array,
     ) -> IKResult:
         cfg = self.cfg
         p = self.params
         B, S, D = seeds.shape
         goal_s = goal.tile_seeds(S)  # (B, S, ...)
-        seeds = self._lm_warm_start(goal_s, seeds)
+        seeds, lm_cost = self._lm_warm_start(goal_s, seeds)
+        if lm_cost is not None and S > cfg.n_seeds:
+            # LM seed pool: keep the best n_seeds by LM residual
+            # (reference `seed_ik_solver.py:578` top-k handoff)
+            S = cfg.n_seeds
+            idx = jnp.argsort(lm_cost, axis=-1)[:, :S]  # (B, S)
+            seeds = jnp.take_along_axis(seeds, idx[..., None], axis=1)
+            goal_s = goal.tile_seeds(S)
 
         from curobo_tpu.ops.blast import BlastRollout
 
@@ -293,9 +311,9 @@ class IKSolver:
             seed_state = check_joint_config("seed_state", seed_state, self.params.n_dof)
         goal = Goal.from_pose(goal_pose)
         B = goal.batch
-        seeds = self.generate_seeds(B, seed_state)
         if key is None:
             key = jax.random.PRNGKey(0)
+        take_pallas = False
         if self.cfg.use_pallas:
             from curobo_tpu.ops.blast import BlastRollout
             from curobo_tpu.ops.pallas_ik import (
@@ -307,7 +325,7 @@ class IKSolver:
             # ONE tool frame; fall back to blast (which handles multi-tool)
             # for axis weights / metric pose cost / cspace goals so all
             # paths optimize the SAME objective.
-            if (
+            take_pallas = (
                 self.params.n_tools == 1
                 and BlastRollout.supports(self.params, goal, self.cfg.rollout)
                 and world_is_supported(world)
@@ -315,16 +333,25 @@ class IKSolver:
                 and goal.goal_cspace is None
                 and jax.default_backend() == "tpu"
                 and not self._pallas_cache.is_broken(world)
-            ):
-                solve = self._get_pallas_solver(world)
-                try:
-                    return solve(world, goal, seeds, key)
-                except jax.errors.JaxRuntimeError as e:
-                    from curobo_tpu.util.logging import log_warn
+            )
+        n_gen = self.cfg.n_seeds
+        if (
+            not take_pallas
+            and self._seed_ik is not None
+            and self.cfg.lm_seed_pool > self.cfg.n_seeds
+        ):
+            n_gen = self.cfg.lm_seed_pool
+        seeds = self.generate_seeds(B, seed_state, n=n_gen)
+        if take_pallas:
+            solve = self._get_pallas_solver(world)
+            try:
+                return solve(world, goal, seeds, key)
+            except jax.errors.JaxRuntimeError as e:
+                from curobo_tpu.util.logging import log_warn
 
-                    log_warn(
-                        "pallas IK solver failed for this world envelope "
-                        f"({str(e)[:160]}); falling back to the XLA path"
-                    )
-                    self._pallas_cache.mark_broken(world)
+                log_warn(
+                    "pallas IK solver failed for this world envelope "
+                    f"({str(e)[:160]}); falling back to the XLA path"
+                )
+                self._pallas_cache.mark_broken(world)
         return self._solve_jit(world, goal, seeds, key)

@@ -108,6 +108,16 @@ class TrajOptSolver:
         self._blast = BlastRollout(params, cfg.rollout)
         self.transition = BSplineTransition(cfg.bspline)
         self._solve_jit = jax.jit(self._solve_seeds)
+        import functools
+
+        # whole solve — finetune rounds, best-seed merge, final rollout +
+        # feasibility — as ONE jit: the per-round eager glue (seed takes,
+        # merges, the final evaluate_trajectory) otherwise dispatches
+        # dozens of eager ops per plan (measured ~1.2 s of a 4.3 s B=1
+        # trajopt through the axon tunnel)
+        self._finetune_xla = jax.jit(
+            functools.partial(self._finetune_impl, solve_fn=self._solve_seeds)
+        )
         from curobo_tpu.solver._cache import WorldKeyedCache
 
         self._pallas_cache = WorldKeyedCache(self._build_pallas_solver)
@@ -134,7 +144,12 @@ class TrajOptSolver:
             max_step=lb.max_step,
         )
         return jax.jit(
-            functools.partial(self._solve_seeds_pallas, solve_kernel=solve_kernel)
+            functools.partial(
+                self._finetune_impl,
+                solve_fn=functools.partial(
+                    self._solve_seeds_pallas, solve_kernel=solve_kernel
+                ),
+            )
         )
 
     def _use_pallas(self, world, goal) -> bool:
@@ -341,24 +356,31 @@ class TrajOptSolver:
         use_pallas = self._use_pallas(world, goal) and not self._pallas_cache.is_broken(
             world
         )
-        solve = self._pallas_cache.get(world) if use_pallas else self._solve_jit
-        best = None  # host-side per-problem best tracker
-        for attempt in range(cfg.finetune_attempts + 1):
-            try:
-                out = solve(world, goal, q_start, free0, dt, key)
-            except jax.errors.JaxRuntimeError as e:
-                if not use_pallas:
-                    raise
-                from curobo_tpu.util.logging import log_warn
+        impl = self._pallas_cache.get(world) if use_pallas else self._finetune_xla
+        try:
+            return impl(world, goal, q_start, free0, dt, key)
+        except jax.errors.JaxRuntimeError as e:
+            if not use_pallas:
+                raise
+            from curobo_tpu.util.logging import log_warn
 
-                log_warn(
-                    "pallas trajopt solver failed for this world envelope "
-                    f"({str(e)[:160]}); falling back to the XLA path"
-                )
-                self._pallas_cache.mark_broken(world)
-                use_pallas = False
-                solve = self._solve_jit
-                out = solve(world, goal, q_start, free0, dt, key)
+            log_warn(
+                "pallas trajopt solver failed for this world envelope "
+                f"({str(e)[:160]}); falling back to the XLA path"
+            )
+            self._pallas_cache.mark_broken(world)
+            return self._finetune_xla(world, goal, q_start, free0, dt, key)
+
+    def _finetune_impl(
+        self, world, goal, q_start, free0, dt, key, solve_fn=None
+    ) -> TrajOptResult:
+        """Finetune rounds + per-problem best-seed merge + final rollout and
+        feasibility, traced as one program (jitted per compute path)."""
+        cfg = self.cfg
+        B = q_start.shape[0]
+        best = None  # per-problem best tracker (traced)
+        for attempt in range(cfg.finetune_attempts + 1):
+            out = solve_fn(world, goal, q_start, free0, dt, key)
             ok = out.converged  # (B, S)
             # candidate score: feasible+converged -> motion time, else BIG
             mt = out.dt_retimed * (cfg.bspline.horizon - 1)

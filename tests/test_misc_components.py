@@ -42,6 +42,55 @@ class TestSeedIK:
         # LM from a single seed: most problems should get close
         assert float(jnp.median(err)) < 0.01
 
+    def test_multi_tool_residual(self):
+        """Multi-tool LM (reference multi-link seed IK): both dual-arm tool
+        frames must converge from per-problem best-of-seeds."""
+        dkin = Kinematics.from_robot_yaml(os.path.join(CONTENT, "dual_ur10e.yml"))
+        p = dkin.params
+        rng = np.random.RandomState(1)
+        B, S = 4, 12
+        qg = jnp.asarray(rng.uniform(-1.2, 1.2, (B, p.n_dof)), jnp.float32)
+        st = compute_kinematics(p, qg)
+        gp = jnp.broadcast_to(
+            st.tool_pose.position[:, None], (B, S) + st.tool_pose.position.shape[1:]
+        )
+        gq = jnp.broadcast_to(
+            st.tool_pose.quaternion[:, None], (B, S) + st.tool_pose.quaternion.shape[1:]
+        )
+        q0 = jnp.asarray(
+            p.retract_config + rng.uniform(-1.5, 1.5, (B, S, p.n_dof)), jnp.float32
+        )
+        seed_ik = SeedIK(p, LMConfig(n_iters=25))
+        q, c = seed_ik._solve_jit(q0, gp, gq)
+        st2 = compute_kinematics(p, q)
+        err = np.linalg.norm(np.asarray(st2.tool_pose.position - gp), axis=-1)
+        best = err.max(-1).min(-1)  # worst tool, best seed per problem
+        assert float(np.median(best)) < 1e-3, best
+
+    def test_lm_seed_pool_downselect(self):
+        """lm_seed_pool > n_seeds: the solver refines the pool and hands the
+        best n_seeds to the optimizer stages; result must succeed."""
+        import dataclasses
+
+        from curobo_tpu.geom import world as wm
+        from curobo_tpu.solver.ik import IKConfig, IKSolver
+
+        kin = Kinematics.from_robot_yaml(os.path.join(CONTENT, "ur10e.yml"))
+        p = kin.params
+        rng = np.random.RandomState(2)
+        B = 4
+        qg = jnp.asarray(rng.uniform(-1.2, 1.2, (B, p.n_dof)), jnp.float32)
+        st = compute_kinematics(p, qg)
+        goal = Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
+        cfg = IKConfig(
+            n_seeds=4, use_lm_seed=True, lm_seed_pool=16, use_pallas=False,
+        )
+        solver = IKSolver(p, cfg)
+        res = solver.solve_pose(wm.empty_world(), goal)
+        # seed axis must be the downselected n_seeds, not the pool
+        assert res.seed_solutions.shape[1] == 4
+        assert bool(jnp.all(res.success)), np.asarray(res.position_error)
+
 
 class TestES:
     def test_quadratic(self):

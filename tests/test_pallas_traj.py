@@ -1,9 +1,9 @@
 """Trajectory mega-kernel consistency tests (block-level, CPU).
 
-The Pallas trajectory kernel's body (`_horizon_loop` / `_step_cost`) is
-plain jnp, so it is tested here by direct tracing — the SAME code Mosaic
-lowers on TPU — against the blast trajectory objective (itself
-oracle-tested against the generic rollout in tests/test_blast.py).
+The Pallas trajectory kernel's body (`_lane_eval` / `_step_cost`, the
+lane-horizon layout) is plain jnp, so it is tested here by direct tracing —
+the SAME code Mosaic lowers on TPU — against the blast trajectory objective
+(itself oracle-tested against the generic rollout in tests/test_blast.py).
 Interpret-mode emulation is avoided: its XLA CPU compiles take minutes.
 
 The in-kernel solver loops (`_lbfgs_loop`, `_mppi_loop`) are tested the
@@ -45,8 +45,6 @@ def setup():
     tcfg = TrajOptConfig()
     # exercise swept collision + speed metric + bound margin (the terms the
     # round-1 kernel got wrong) on a small spline to keep compiles fast
-    # (XLA CPU compile time of the nested horizon/solver loops grows
-    # steeply with horizon x sweep_steps — keep this problem TINY)
     cfg = dataclasses.replace(
         tcfg.rollout,
         collision_cost=dataclasses.replace(tcfg.rollout.collision_cost, sweep_steps=2),
@@ -61,10 +59,8 @@ def setup():
 
 @pytest.fixture(scope="module")
 def problem(setup):
-    from curobo_tpu.ops.pallas_ik import BLK, LANE, SUB
-
     kin, world, cfg, bsp, blast, ptc, trans = setup
-    NP = BLK
+    NP = ptc._cap  # one full lane-horizon block (SUB x slots problems)
     D = kin.params.n_dof
     nfD = bsp.n_free * D
     rng = np.random.RandomState(0)
@@ -83,16 +79,12 @@ def problem(setup):
     )
     free_flat = free0.reshape(NP, -1)
 
-    def to_block(a, feat):
-        return jnp.moveaxis(a.reshape(SUB, LANE, feat), -1, 0)
-
     from curobo_tpu.ops.pallas_ik import pack_world_arrays
 
+    gb, xb, qb, db, nb, Npad = ptc._traj_pack(goal7, free_flat, q_start, dtv)
+    assert nb == 1 and Npad == NP
     blocks = dict(
-        goal=to_block(goal7, 7),
-        qs=to_block(q_start, D),
-        x=to_block(free_flat, nfD),
-        dt=dtv.reshape(SUB, LANE),
+        goal=gb[0], qs=qb[0], x=xb[0], dt=db[0][0],
         w=pack_world_arrays(world),
     )
     return dict(
@@ -101,28 +93,47 @@ def problem(setup):
     )
 
 
+def _eval(ptc, b, x, mode):
+    return ptc._lane_eval(
+        ptc._lane_tbl, ptc._G, b["goal"], b["qs"], b["dt"], x, b["w"], mode
+    )
+
+
+def _rows(ptc, a, NP):
+    return np.asarray(ptc._unpack_rows(a[None], 1, NP, NP))
+
+
 class TestTrajKernelConsistency:
     def test_cost_matches_blast(self, setup, problem):
         kin, world, cfg, bsp, blast, ptc, trans = setup
         p = problem
         b = p["blocks"]
-        ck = jax.jit(
-            lambda x: ptc._horizon_loop(ptc._basis, b["goal"], b["qs"], b["dt"], x, b["w"], "cost")
-        )(b["x"]).reshape(p["NP"])
+        ck_blk = jax.jit(lambda x: _eval(ptc, b, x, "cost"))(b["x"])
+        ck = _rows(ptc, ck_blk, p["NP"])
         traj = trans.rollout(p["free0"], p["q_start"], p["dtv"])
         cb = blast.evaluate_trajectory(world, p["goal"], traj).cost
-        rel = np.abs(np.asarray(ck - cb)) / (np.abs(np.asarray(cb)) + 1e-2)
+        rel = np.abs(ck - np.asarray(cb)) / (np.abs(np.asarray(cb)) + 1e-2)
         assert np.median(rel) < 1e-4
         assert np.max(rel) < 1e-3
+
+    def test_cost_replicated_across_h_lanes(self, setup, problem):
+        """Every lane of a slot must carry the slot's cost (the in-kernel
+        optimizer loops rely on h-replication)."""
+        kin, world, cfg, bsp, blast, ptc, trans = setup
+        p = problem
+        b = p["blocks"]
+        ck_blk = np.asarray(jax.jit(lambda x: _eval(ptc, b, x, "cost"))(b["x"]))
+        grp = ck_blk.reshape(ck_blk.shape[0], ptc._slots, ptc._h_pad)
+        np.testing.assert_allclose(
+            grp, np.broadcast_to(grp[..., :1], grp.shape), rtol=1e-5, atol=1e-4
+        )
 
     def test_grad_matches_blast(self, setup, problem):
         kin, world, cfg, bsp, blast, ptc, trans = setup
         p = problem
         b = p["blocks"]
-        _, gk_blk = jax.jit(
-            lambda x: ptc._horizon_loop(ptc._basis, b["goal"], b["qs"], b["dt"], x, b["w"], "grad")
-        )(b["x"])
-        gk = jnp.moveaxis(gk_blk, 0, -1).reshape(p["NP"], p["nfD"])
+        _, gk_blk = jax.jit(lambda x: _eval(ptc, b, x, "grad"))(b["x"])
+        gk = _rows(ptc, gk_blk, p["NP"])
 
         def blast_cost(ff):
             knots = ff.reshape(p["NP"], bsp.n_free, p["D"])
@@ -130,7 +141,7 @@ class TestTrajKernelConsistency:
             return blast.evaluate_trajectory(world, p["goal"], traj).cost
 
         gb = jax.grad(lambda f: jnp.sum(blast_cost(f)))(p["free_flat"])
-        rel = np.abs(np.asarray(gk - gb)) / (np.abs(np.asarray(gb)) + 1.0)
+        rel = np.abs(gk - np.asarray(gb)) / (np.abs(np.asarray(gb)) + 1.0)
         assert np.median(rel) < 1e-4
         assert np.percentile(rel, 99) < 1e-2
 
@@ -138,20 +149,16 @@ class TestTrajKernelConsistency:
         kin, world, cfg, bsp, blast, ptc, trans = setup
         p = problem
         b = p["blocks"]
-        _, pe, re, fe, dtr = jax.jit(
-            lambda x: ptc._horizon_loop(
-                ptc._basis, b["goal"], b["qs"], b["dt"], x, b["w"], "metrics"
-            )
-        )(b["x"])
+        _, pe, re, fe, dtr = jax.jit(lambda x: _eval(ptc, b, x, "metrics"))(b["x"])
         traj = trans.rollout(p["free0"], p["q_start"], p["dtv"])
         res = blast.evaluate_trajectory(world, p["goal"], traj)
         np.testing.assert_allclose(
-            np.asarray(pe.reshape(p["NP"])), np.asarray(res.pos_err), atol=1e-5
+            _rows(ptc, pe, p["NP"]), np.asarray(res.pos_err), atol=1e-5
         )
         np.testing.assert_allclose(
-            np.asarray(re.reshape(p["NP"])), np.asarray(res.rot_err), atol=1e-5
+            _rows(ptc, re, p["NP"]), np.asarray(res.rot_err), atol=1e-5
         )
-        agree = np.mean(np.asarray((fe.reshape(p["NP"]) > 0.5) == res.feasible))
+        agree = np.mean((_rows(ptc, fe, p["NP"]) > 0.5) == np.asarray(res.feasible))
         assert agree == 1.0
 
     def test_retiming_matches_solver(self, setup, problem):
@@ -160,41 +167,23 @@ class TestTrajKernelConsistency:
         kin, world, cfg, bsp, blast, ptc, trans = setup
         p = problem
         b = p["blocks"]
-        _, _, _, _, dtr = jax.jit(
-            lambda x: ptc._horizon_loop(
-                ptc._basis, b["goal"], b["qs"], b["dt"], x, b["w"], "metrics"
-            )
-        )(b["x"])
+        _, _, _, _, dtr = jax.jit(lambda x: _eval(ptc, b, x, "metrics"))(b["x"])
         tcfg = TrajOptConfig()
         solver = TrajOptSolver.__new__(TrajOptSolver)
         solver.params = kin.params
         solver.cfg = tcfg
         traj = trans.rollout(p["free0"], p["q_start"], p["dtv"])
         dt_ref = np.asarray(solver._retime_dt(traj, p["dtv"]))
-        dt_k = np.clip(np.asarray(dtr.reshape(p["NP"])), tcfg.min_dt, tcfg.max_dt)
+        dt_k = np.clip(_rows(ptc, dtr, p["NP"]), tcfg.min_dt, tcfg.max_dt)
         np.testing.assert_allclose(dt_k, dt_ref, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.skipif(
-    not os.environ.get("RUN_SLOW_TESTS"),
-    reason="XLA CPU compile of the solver-loop x horizon-loop composition "
-    "takes 20+ min; the loops themselves are covered by "
-    "tests/test_pallas_solvers.py (same _lbfgs_loop/_mppi_loop) and the "
-    "trajectory objective by TestTrajKernelConsistency. Set "
-    "RUN_SLOW_TESTS=1 to run.",
-)
 class TestTrajInKernelSolvers:
-    def test_lbfgs_loop_descends_and_matches_xla(self, setup, problem):
-        """In-kernel L-BFGS on the trajectory objective: monotone best cost,
-        and final cost comparable to the XLA lbfgs_optimize path."""
-        from curobo_tpu.opt.lbfgs import LBFGSConfig, lbfgs_optimize
+    """The lane-horizon layout removed the per-step fori_loop, so the
+    solver-loop x objective composition now compiles quickly enough to run
+    by default on the CPU backend."""
 
-        kin, world, cfg, bsp, blast, ptc, trans = setup
-        p = problem
-        b = p["blocks"]
-        basis = ptc._basis
-        nfD = p["nfD"]
-        D = p["D"]
+    def _clip(self, kin, nfD, D):
         lo = np.maximum(np.asarray(kin.params.joint_limits.lower), -2 * np.pi)
         hi = np.minimum(np.asarray(kin.params.joint_limits.upper), 2 * np.pi)
 
@@ -203,11 +192,21 @@ class TestTrajInKernelSolvers:
                 [jnp.clip(x[r], lo[r % D], hi[r % D]) for r in range(nfD)]
             )
 
-        def cost_fn(xx):
-            return ptc._horizon_loop(basis, b["goal"], b["qs"], b["dt"], xx, b["w"], "cost")
+        return clip_x
 
-        def cost_grad(xx):
-            return ptc._horizon_loop(basis, b["goal"], b["qs"], b["dt"], xx, b["w"], "grad")
+    def test_lbfgs_loop_descends_and_matches_xla(self, setup, problem):
+        """In-kernel L-BFGS on the trajectory objective: monotone best cost,
+        and final cost comparable to the XLA lbfgs_optimize path."""
+        from curobo_tpu.opt.lbfgs import LBFGSConfig, lbfgs_optimize
+
+        kin, world, cfg, bsp, blast, ptc, trans = setup
+        p = problem
+        b = p["blocks"]
+        nfD, D = p["nfD"], p["D"]
+        clip_x = self._clip(kin, nfD, D)
+
+        cost_fn = lambda xx: _eval(ptc, b, xx, "cost")
+        cost_grad = lambda xx: _eval(ptc, b, xx, "grad")
 
         # the loop starts from the CLIPPED point — compare best-tracker
         # semantics against the cost there (fp tolerance at cost scale)
@@ -227,49 +226,50 @@ class TestTrajInKernelSolvers:
         # XLA-path reference on the same objective (flattened layout);
         # extra leading candidate axes (the line-search fold) via vmap
         def cost_flat(x):  # (..., N, nfD) -> (..., N)
-            from curobo_tpu.ops.pallas_ik import LANE, SUB
-
             if x.ndim > 2:
                 return jax.vmap(cost_flat)(x)
-            xb = jnp.moveaxis(x, -1, 0).reshape(nfD, SUB, LANE)
-            c = ptc._horizon_loop(basis, b["goal"], b["qs"], b["dt"], xb, b["w"], "cost")
-            return c.reshape(x.shape[0])
+            _, xb, _, _, nb, Npad = ptc._traj_pack(
+                p["goal7"], x, p["q_start"], p["dtv"])
+            c = _eval(ptc, b, xb[0], "cost")
+            return ptc._unpack_rows(c[None], 1, Npad, x.shape[0])
 
         x_xla, c_xla = lbfgs_optimize(
             cost_flat, p["free_flat"], LBFGSConfig(history=3, n_iters=4, max_step=0.4)
         )
         # same iteration budget, different line searches: require the
         # in-kernel result to be in the same ballpark on average
-        assert float(jnp.mean(best_c)) <= 1.3 * float(jnp.mean(c_xla)) + 1e-3
+        best_rows = _rows(ptc, best_c, p["NP"])
+        assert float(np.mean(best_rows)) <= 1.3 * float(jnp.mean(c_xla)) + 1e-3
 
     def test_mppi_loop_descends_deterministically(self, setup, problem):
         kin, world, cfg, bsp, blast, ptc, trans = setup
         p = problem
         b = p["blocks"]
-        basis = ptc._basis
-        nfD = p["nfD"]
-        D = p["D"]
-        lo = np.maximum(np.asarray(kin.params.joint_limits.lower), -2 * np.pi)
-        hi = np.minimum(np.asarray(kin.params.joint_limits.upper), 2 * np.pi)
-
-        def clip_x(x):
-            return jnp.stack(
-                [jnp.clip(x[r], lo[r % D], hi[r % D]) for r in range(nfD)]
-            )
-
-        def cost_fn(xx):
-            return ptc._horizon_loop(basis, b["goal"], b["qs"], b["dt"], xx, b["w"], "cost")
+        nfD, D = p["nfD"], p["D"]
+        clip_x = self._clip(kin, nfD, D)
+        cost_fn = lambda xx: _eval(ptc, b, xx, "cost")
 
         def normal_fn(key, shape):
             key, sub = jax.random.split(key)
             return key, jax.random.normal(sub, shape, jnp.float32)
+
+        # slot-leader noise replication (the kernel's eps_rep analog)
+        from curobo_tpu.ops.pallas_ik import LANE, SUB
+
+        lead = (
+            jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1) % ptc._h_pad
+            == 0
+        ).astype(jnp.float32)
+
+        def eps_rep(eps):
+            return ptc._group_sum(eps * lead, ptc._G)
 
         run = jax.jit(
             lambda x, key: ptc._ik._mppi_loop(
                 cost_fn, clip_x, x, n_iters=2, n_particles=4,
                 init_std=0.08, std_decay=0.9, min_std=0.005,
                 temperature=0.05, step_size=0.9,
-                rng=(key, normal_fn),
+                rng=(key, normal_fn), eps_transform=eps_rep,
             )
         )
         c0 = jax.jit(cost_fn)(b["x"])
@@ -278,3 +278,8 @@ class TestTrajInKernelSolvers:
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
         assert float(jnp.mean(c1)) <= float(jnp.mean(c0))
         assert float(jnp.max(c1 - c0)) <= 1e-5  # best-tracker: never worse
+        # h-replication must survive the solver loop
+        x1r = np.asarray(x1).reshape(nfD, -1, ptc._slots, ptc._h_pad)
+        np.testing.assert_allclose(
+            x1r, np.broadcast_to(x1r[..., :1], x1r.shape), atol=1e-6
+        )

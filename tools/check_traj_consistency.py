@@ -52,7 +52,7 @@ blast = BlastRollout(kin.params, cfg)
 ptc = PallasTrajCost(kin.params, cfg, world, bsp)
 trans = BSplineTransition(bsp)
 
-NP = BLK  # one full block
+NP = ptc._cap  # one full lane-horizon block
 D = kin.params.n_dof
 nfD = bsp.n_free * D
 rng = np.random.RandomState(0)
@@ -75,12 +75,13 @@ def to_block(a, feat):
     return jnp.moveaxis(a.reshape(SUB, LANE, feat), -1, 0)
 
 
-gb_blk = to_block(goal7, 7)
-qs_blk = to_block(q_start, D)
-x_blk = to_block(free_flat, nfD)
-dt_blk = dtv.reshape(SUB, LANE)
-basis = ptc._basis
+gb, xb, qb, db, nb, Npad = ptc._traj_pack(goal7, free_flat, q_start, dtv)
+assert nb == 1 and Npad == NP, (nb, Npad, NP)
+gb_blk, qs_blk, x_blk, dt_blk = gb[0], qb[0], xb[0], db[0][0]
 refs = pack_world_arrays(world)
+
+def rows(a):
+    return ptc._unpack_rows(a[None], 1, Npad, NP)
 
 print("setup done", flush=True)
 
@@ -96,15 +97,15 @@ gb = jax.grad(lambda f: jnp.sum(blast_cost(f)))(free_flat)
 print("blast done", flush=True)
 
 t0 = time.time()
-ck_blk = jax.jit(lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, refs, "cost"))(x_blk)
-ck = ck_blk.reshape(NP)
+ck_blk = jax.jit(lambda x: ptc._lane_eval(ptc._lane_tbl, ptc._G, gb_blk, qs_blk, dt_blk, x, refs, "cost"))(x_blk)
+ck = rows(ck_blk)
 print("kernel cost done", time.time() - t0, flush=True)
 
 t0 = time.time()
 ckg, gk_blk = jax.jit(
-    lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, refs, "grad")
+    lambda x: ptc._lane_eval(ptc._lane_tbl, ptc._G, gb_blk, qs_blk, dt_blk, x, refs, "grad")
 )(x_blk)
-gk = jnp.moveaxis(gk_blk, 0, -1).reshape(NP, nfD)
+gk = rows(gk_blk)
 print("kernel grad done", time.time() - t0, flush=True)
 
 rel_c = np.abs(np.asarray(ck - cb)) / (np.abs(np.asarray(cb)) + 1e-2)
@@ -114,13 +115,13 @@ print("grad rel err: med", np.median(rel_g), "max", np.max(rel_g))
 
 # metrics mode
 cm, pe, re, fe, dtr = jax.jit(
-    lambda x: ptc._horizon_loop(basis, gb_blk, qs_blk, dt_blk, x, refs, "metrics")
+    lambda x: ptc._lane_eval(ptc._lane_tbl, ptc._G, gb_blk, qs_blk, dt_blk, x, refs, "metrics")
 )(x_blk)
 traj = trans.rollout(free0, q_start, dtv)
 res = blast.evaluate_trajectory(world, goal, traj)
-print("metrics pe diff:", np.max(np.abs(np.asarray(pe.reshape(NP) - res.pos_err))))
-print("metrics re diff:", np.max(np.abs(np.asarray(re.reshape(NP) - res.rot_err))))
-print("metrics fe agree:", np.mean(np.asarray((fe.reshape(NP) > 0.5) == res.feasible)))
+print("metrics pe diff:", np.max(np.abs(np.asarray(rows(pe)) - np.asarray(res.pos_err))))
+print("metrics re diff:", np.max(np.abs(np.asarray(rows(re)) - np.asarray(res.rot_err))))
+print("metrics fe agree:", np.mean((np.asarray(rows(fe)) > 0.5) == np.asarray(res.feasible)))
 
 # retiming parity vs solver._retime_dt
 from curobo_tpu.solver.trajopt import TrajOptSolver
@@ -133,5 +134,5 @@ dt_ref = np.asarray(
         solver._retime_dt(traj, dtv), 0.0, 1e9
     )
 )
-dtr_np = np.asarray(dtr.reshape(NP))
+dtr_np = np.asarray(rows(dtr))
 print("retime rel diff:", np.max(np.abs(dtr_np - dt_ref) / (dt_ref + 1e-6)))
