@@ -62,7 +62,7 @@ class RobotSceneCollision:
 
     def query(self, world: world_mod.WorldData, q: jnp.ndarray) -> CollisionQueryResult:
         """q (..., D) -> per-config result (trajectories fold into batch)."""
-        return self._query_jit(world, q)
+        return self._query_jit(world.anonymized(), q)
 
     def validate(self, world: world_mod.WorldData, q: jnp.ndarray) -> jnp.ndarray:
         """Parity: reference `validate:341` — bool per config."""

@@ -96,6 +96,28 @@ class WorldData:
     cylinders: CylinderData
     voxel_grids: Tuple[VoxelGridData, ...]
 
+    def anonymized(self) -> "WorldData":
+        """Copy with all obstacle-name metadata blanked.
+
+        Names are STATIC pytree metadata, so every distinct name set is a
+        distinct `jax.jit` cache key: without this, two worlds with
+        identical array shapes but different obstacle names recompile the
+        whole solve (minutes on TPU; observed as one 400 s motion-bench
+        outlier per new cuboid-count). Solvers call this at every jit
+        boundary; name-keyed APIs (`update_obstacle_pose`, ...) operate on
+        the original."""
+        anon = dataclasses.replace(
+            self,
+            cuboids=dataclasses.replace(self.cuboids, names=()),
+            spheres=dataclasses.replace(self.spheres, names=()),
+            capsules=dataclasses.replace(self.capsules, names=()),
+            cylinders=dataclasses.replace(self.cylinders, names=()),
+            voxel_grids=tuple(
+                dataclasses.replace(vg, name="") for vg in self.voxel_grids
+            ),
+        )
+        return anon
+
     # -- functional updates --------------------------------------------
     def _type_of(self, name: str):
         for field in ("cuboids", "spheres", "capsules", "cylinders"):

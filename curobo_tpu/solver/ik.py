@@ -334,6 +334,7 @@ class IKSolver:
                 and jax.default_backend() == "tpu"
                 and not self._pallas_cache.is_broken(world)
             )
+        world = world.anonymized()  # names are static jit keys
         n_gen = self.cfg.n_seeds
         if (
             not take_pallas

@@ -339,6 +339,7 @@ class MPCSolver:
     ) -> Tuple[MPCResult, MPCState]:
         """Run T ticks in ONE dispatch. Returns per-tick stacked MPCResult
         (leading T axis) + the final warm-start state."""
+        worlds = worlds.anonymized()  # names are static jit keys
         q0 = joint_state.position
         qd0 = (
             joint_state.velocity
@@ -370,6 +371,8 @@ class MPCSolver:
     ) -> Tuple[MPCResult, MPCState]:
         """One control tick. Parity: `optimize_action_sequence` (:581)."""
         from curobo_tpu.util.checks import check_joint_config
+
+        world = world.anonymized()  # names are static jit keys
 
         check_joint_config("joint_state.position", joint_state.position, self.params.n_dof)
         qd = (

@@ -339,6 +339,7 @@ class TrajOptSolver:
 
     # ------------------------------------------------------------------
     def _solve(self, world, goal, q_start, seed_q, key, seed_paths=None) -> TrajOptResult:
+        world = world.anonymized()  # names are static jit keys
         cfg = self.cfg
         B, S, D = seed_q.shape
         if key is None:
