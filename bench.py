@@ -148,7 +148,13 @@ def bench_g1_cfik():
     from curobo_tpu.solver.ik import IKConfig, IKSolver
     from curobo_tpu.types.pose import Pose
 
-    kin = Kinematics.from_robot_yaml("curobo_tpu/content/robots/unitree_g1.yml")
+    from curobo_tpu.robot.model import RobotModelConfig
+
+    mc = RobotModelConfig.from_yaml("curobo_tpu/content/robots/unitree_g1.yml")
+    # fixed base (reference G1 parity — ours carries a floating base for
+    # retargeting; lock it at the retract pose for the CF-IK row)
+    mc = mc.with_locked_joints(mc.actuated_joints[:6])
+    kin = Kinematics.from_robot_config(mc)
     p = kin.params
     cfg = IKConfig.from_yaml("curobo_tpu/content/tasks/ik_g1.yml")
     # the reference CF-IK row has no balance term; the support-polygon
@@ -166,19 +172,16 @@ def bench_g1_cfik():
     )
 
     B = 100
-    # collision-free sampled goal configs, floating base pinned at retract
-    # (the reference G1 has a fixed base; ours is floating for retargeting)
+    # collision-free sampled goal configs (full joint range + rejection,
+    # reference `sample_configs` protocol)
     rsc = RobotSceneCollision(p)
     rng = np.random.RandomState(7)
     lo = np.maximum(np.asarray(p.joint_limits.lower), -np.pi)
     hi = np.minimum(np.asarray(p.joint_limits.upper), np.pi)
-    retract = np.asarray(p.retract_config)
-    base = np.arange(p.n_dof) < 6
     q_pool = []
     got = 0
     while got < B:
         cand = rng.uniform(lo, hi, (4 * B, p.n_dof)).astype(np.float32)
-        cand[:, base] = retract[base]
         ok = np.asarray(rsc.validate(world, jnp.asarray(cand)))
         q_pool.append(cand[ok])
         got += int(ok.sum())

@@ -379,7 +379,7 @@ def sphere_sdf(world: WorldData, x: jnp.ndarray) -> jnp.ndarray:
     """
     parts = []
 
-    if len(world.cuboids.names) > 0:
+    if world.cuboids.pos.shape[0] > 0:
         cb = world.cuboids
         # (..., S, N, 3) local points
         xl = jnp.einsum("nji,...sj->...sni", cb.rot, x - 0) - jnp.einsum(
@@ -389,19 +389,19 @@ def sphere_sdf(world: WorldData, x: jnp.ndarray) -> jnp.ndarray:
         d = sdf_mod.sdf_box(xl, cb.half_dims)
         parts.append(jnp.where(cb.enabled > 0, d, BIG))
 
-    if len(world.spheres.names) > 0:
+    if world.spheres.center.shape[0] > 0:
         sp = world.spheres
         d = sdf_mod.sdf_sphere(x[..., None, :], sp.center, sp.radius[..., :])
         parts.append(jnp.where(sp.enabled > 0, d, BIG))
 
-    if len(world.capsules.names) > 0:
+    if world.capsules.pos.shape[0] > 0:
         cp = world.capsules
         a = jnp.einsum("nij,nj->ni", cp.rot, cp.base) + cp.pos
         b = jnp.einsum("nij,nj->ni", cp.rot, cp.tip) + cp.pos
         d = sdf_mod.sdf_capsule(x[..., None, :], a, b, cp.radius)
         parts.append(jnp.where(cp.enabled > 0, d, BIG))
 
-    if len(world.cylinders.names) > 0:
+    if world.cylinders.pos.shape[0] > 0:
         cy = world.cylinders
         xl = jnp.einsum("nji,...snj->...sni", cy.rot, x[..., None, :] - cy.pos)
         d = sdf_mod.sdf_cylinder(xl, cy.radius, cy.half_height)

@@ -74,6 +74,25 @@ class PRMGraphPlanner:
         ok = self._check_configs(world, pts)  # (K, E)
         return jnp.all(ok, axis=0)
 
+    def _edges_free(self, world, qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+        """Edge sweep with POWER-OF-2 shape buckets: the edge count is
+        data-dependent (kNN over the valid nodes of THIS world), so calling
+        the jit at the raw count recompiles per world — observed as ~3 s
+        per first graph-seeded retry on TPU. Padding rows repeat edge 0
+        (any valid config pair); results are sliced back."""
+        E = len(qa)
+        if E == 0:
+            return np.zeros(0, dtype=bool)
+        epad = max(256, 1 << (E - 1).bit_length())
+        qa_p = np.broadcast_to(qa[0], (epad,) + qa.shape[1:]).copy()
+        qb_p = np.broadcast_to(qb[0], (epad,) + qb.shape[1:]).copy()
+        qa_p[:E] = qa
+        qb_p[:E] = qb
+        free = np.asarray(
+            self._check_edges(world, jnp.asarray(qa_p), jnp.asarray(qb_p))
+        )
+        return free[:E]
+
     # ------------------------------------------------------------------
     def plan(
         self,
@@ -85,6 +104,7 @@ class PRMGraphPlanner:
         p = self.params
         B, D = q_start.shape
         N = cfg.n_nodes
+        world = world.anonymized()  # names are static jit keys
 
         # 1. validate roadmap nodes (shared across problems — same world)
         node_ok = np.asarray(self._check_q(world, self._nodes))  # (N,)
@@ -107,13 +127,9 @@ class PRMGraphPlanner:
         ea = np.asarray(ea, dtype=np.int64)
         eb = np.asarray(eb, dtype=np.int64)
 
-        # 3. batched edge collision sweep (device)
+        # 3. batched edge collision sweep (device, shape-bucketed)
         if len(ea):
-            free = np.asarray(
-                self._check_edges(
-                    world, jnp.asarray(nodes[ea]), jnp.asarray(nodes[eb])
-                )
-            )
+            free = self._edges_free(world, nodes[ea], nodes[eb])
             ea, eb = ea[free], eb[free]
 
         # 4. connect per-problem start/goal to their k nearest valid nodes
@@ -136,11 +152,7 @@ class PRMGraphPlanner:
             [v for b in range(B) for v in (qs[b], qg[b])]
         )  # (2B, D)
         if len(all_sa):
-            qa = endpoints[all_sa - N]
-            qb = nodes[all_sb]
-            free = np.asarray(
-                self._check_edges(world, jnp.asarray(qa), jnp.asarray(qb))
-            )
+            free = self._edges_free(world, endpoints[all_sa - N], nodes[all_sb])
             all_sa, all_sb = all_sa[free], all_sb[free]
 
         # 5. per-problem dijkstra on the shared graph + its own endpoints

@@ -254,7 +254,7 @@ def scene_min_sdf_blast(world: world_mod.WorldData, sx, sy, sz):
     min_sdf = jnp.full(sx.shape, BIG, sx.dtype)
 
     cb = world.cuboids
-    for k in range(len(cb.names)):
+    for k in range(cb.pos.shape[0]):
         R = cb.rot[k]
         pos = cb.pos[k]
         half = cb.half_dims[k]
@@ -276,7 +276,7 @@ def scene_min_sdf_blast(world: world_mod.WorldData, sx, sy, sz):
         min_sdf = jnp.minimum(min_sdf, d)
 
     sp = world.spheres
-    for k in range(len(sp.names)):
+    for k in range(sp.center.shape[0]):
         c = sp.center[k]
         d = (
             jnp.sqrt((sx - c[0]) ** 2 + (sy - c[1]) ** 2 + (sz - c[2]) ** 2 + 1e-12)
@@ -285,7 +285,7 @@ def scene_min_sdf_blast(world: world_mod.WorldData, sx, sy, sz):
         min_sdf = jnp.minimum(min_sdf, jnp.where(sp.enabled[k] > 0, d, BIG))
 
     cp = world.capsules
-    for k in range(len(cp.names)):
+    for k in range(cp.pos.shape[0]):
         R, pos = cp.rot[k], cp.pos[k]
         a = R @ cp.base[k] + pos
         b = R @ cp.tip[k] + pos
@@ -303,7 +303,7 @@ def scene_min_sdf_blast(world: world_mod.WorldData, sx, sy, sz):
         min_sdf = jnp.minimum(min_sdf, jnp.where(cp.enabled[k] > 0, d, BIG))
 
     cy = world.cylinders
-    for k in range(len(cy.names)):
+    for k in range(cy.pos.shape[0]):
         R, pos = cy.rot[k], cy.pos[k]
         lx = R[0, 0] * (sx - pos[0]) + R[1, 0] * (sy - pos[1]) + R[2, 0] * (sz - pos[2])
         ly = R[0, 1] * (sx - pos[0]) + R[1, 1] * (sy - pos[1]) + R[2, 1] * (sz - pos[2])

@@ -82,6 +82,45 @@ class RobotModelConfig:
     extra_collision_spheres: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
+    def with_locked_joints(
+        self, names: Sequence[str], values: Optional[Sequence[float]] = None
+    ) -> "RobotModelConfig":
+        """Copy with the given ACTUATED joints locked (reference
+        `lock_joints` semantics, `cuda_robot_generator`): removed from the
+        dof list, frozen at the given values (default: their retract
+        pose). Per-dof arrays (retract, weights, limits scalars-or-lists)
+        are sliced to the remaining dofs."""
+        idx = {n: i for i, n in enumerate(self.actuated_joints)}
+        for n in names:
+            if n not in idx:
+                raise ValueError(
+                    f"joint {n!r} is not actuated; actuated joints: "
+                    f"{self.actuated_joints}"
+                )
+        if values is None:
+            if self.retract_config is None:
+                raise ValueError("no retract_config to lock joints at")
+            values = [float(self.retract_config[idx[n]]) for n in names]
+        drop = set(names)
+        keep = [i for i, n in enumerate(self.actuated_joints) if n not in drop]
+
+        def sl(v):
+            if isinstance(v, (list, tuple)) and len(v) == len(self.actuated_joints):
+                return [v[i] for i in keep]
+            return v
+
+        return dataclasses.replace(
+            self,
+            actuated_joints=[self.actuated_joints[i] for i in keep],
+            lock_joints={**self.lock_joints,
+                         **{n: float(v) for n, v in zip(names, values)}},
+            retract_config=sl(self.retract_config),
+            cspace_weight=sl(self.cspace_weight),
+            null_space_weight=sl(self.null_space_weight),
+            max_acceleration=sl(self.max_acceleration),
+            max_jerk=sl(self.max_jerk),
+        )
+
     @staticmethod
     def from_dict(d: dict) -> "RobotModelConfig":
         r = d["robot"] if "robot" in d else d

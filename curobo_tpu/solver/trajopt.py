@@ -63,6 +63,11 @@ class TrajOptConfig:
     dt_safety: float = 1.2  # margin on the velocity-limit dt estimate
     finetune_attempts: int = 2
     finetune_dt_scale: float = 0.85
+    # pose-weight boost for the LAST finetune round (the reference's
+    # separate finetune trajopt raises pose cost to pull terminal error
+    # under the success threshold, `finetune_trajopt.yml` /
+    # `solver_trajopt.py:258`); 1.0 disables the second compiled objective
+    finetune_pose_scale: float = 5.0
 
     @staticmethod
     def from_yaml(path_or_dict) -> "TrajOptConfig":
@@ -106,6 +111,9 @@ class TrajOptSolver:
         from curobo_tpu.ops.blast import BlastRollout
 
         self._blast = BlastRollout(params, cfg.rollout)
+        self._ft_rollout_cfg = self._scaled_rollout_cfg()
+        self.rollout_ft = RobotRollout(params, self._ft_rollout_cfg)
+        self._blast_ft = BlastRollout(params, self._ft_rollout_cfg)
         self.transition = BSplineTransition(cfg.bspline)
         self._solve_jit = jax.jit(self._solve_seeds)
         import functools
@@ -116,7 +124,28 @@ class TrajOptSolver:
         # dozens of eager ops per plan (measured ~1.2 s of a 4.3 s B=1
         # trajopt through the axon tunnel)
         self._finetune_xla = jax.jit(
-            functools.partial(self._finetune_impl, solve_fn=self._solve_seeds)
+            functools.partial(
+                self._finetune_impl,
+                solve_fn=self._solve_seeds,
+                solve_fn_ft=functools.partial(self._solve_seeds, finetune=True),
+            )
+        )
+
+    def _scaled_rollout_cfg(self):
+        """Rollout config with pose weights boosted for the last finetune
+        round (reference `finetune_trajopt.yml` semantics)."""
+        cfg = self.cfg
+        s = cfg.finetune_pose_scale
+        if s == 1.0:
+            return cfg.rollout
+        pc = cfg.rollout.pose_cost
+        return dataclasses.replace(
+            cfg.rollout,
+            pose_cost=dataclasses.replace(
+                pc,
+                position_weight=pc.position_weight * s,
+                rotation_weight=pc.rotation_weight * s,
+            ),
         )
         from curobo_tpu.solver._cache import WorldKeyedCache
 
@@ -129,9 +158,8 @@ class TrajOptSolver:
         from curobo_tpu.ops.pallas_traj import PallasTrajCost
 
         cfg = self.cfg
-        ptc = PallasTrajCost(self.params, cfg.rollout, world, cfg.bspline)
         mp, lb = cfg.mppi, cfg.lbfgs
-        solve_kernel = ptc.build_solver(
+        kernel_opts = dict(
             mppi_iters=mp.n_iters if cfg.use_particle_stage else 0,
             n_particles=mp.n_particles,
             init_std=float(mp.init_std),
@@ -143,12 +171,27 @@ class TrajOptSolver:
             history=lb.history,
             max_step=lb.max_step,
         )
+        ptc = PallasTrajCost(self.params, cfg.rollout, world, cfg.bspline)
+        solve_kernel = ptc.build_solver(**kernel_opts)
+        solve_fn = functools.partial(
+            self._solve_seeds_pallas, solve_kernel=solve_kernel
+        )
+        solve_fn_ft = solve_fn
+        if cfg.finetune_pose_scale != 1.0 and cfg.finetune_attempts > 0:
+            # second compiled objective with boosted pose weights for the
+            # last round (no MPPI — it's a precision polish of warm starts)
+            ptc_ft = PallasTrajCost(
+                self.params, self._ft_rollout_cfg, world, cfg.bspline
+            )
+            ft_kernel = ptc_ft.build_solver(
+                **{**kernel_opts, "mppi_iters": 0}
+            )
+            solve_fn_ft = functools.partial(
+                self._solve_seeds_pallas, solve_kernel=ft_kernel
+            )
         return jax.jit(
             functools.partial(
-                self._finetune_impl,
-                solve_fn=functools.partial(
-                    self._solve_seeds_pallas, solve_kernel=solve_kernel
-                ),
+                self._finetune_impl, solve_fn=solve_fn, solve_fn_ft=solve_fn_ft
             )
         )
 
@@ -210,7 +253,7 @@ class TrajOptSolver:
             ),
         )
 
-    def _traj_rollout(self, goal: Goal):
+    def _traj_rollout(self, goal: Goal, finetune: bool = False):
         """Pick the B-last fast path when the problem shape supports it."""
         from curobo_tpu.ops.blast import BlastRollout
 
@@ -218,8 +261,8 @@ class TrajOptSolver:
             BlastRollout.supports(self.params, goal, self.cfg.rollout)
             and self.cfg.rollout.torque_limit_weight == 0.0
         ):
-            return self._blast
-        return self.rollout
+            return self._blast_ft if finetune else self._blast
+        return self.rollout_ft if finetune else self.rollout
 
     # ------------------------------------------------------------------
     def estimate_dt(self, q_start: jnp.ndarray, q_end: jnp.ndarray) -> jnp.ndarray:
@@ -257,12 +300,13 @@ class TrajOptSolver:
         free0: jnp.ndarray,  # (B, S, n_free, D) initial knots
         dt: jnp.ndarray,  # (B, S)
         key: jax.Array,
+        finetune: bool = False,
     ) -> _SeedSolveOut:
         cfg = self.cfg
         B, S, n_free, D = free0.shape
         goal_s = goal.tile_seeds(S)
         qs = jnp.broadcast_to(q_start[:, None], (B, S, D))
-        rollout = self._traj_rollout(goal)
+        rollout = self._traj_rollout(goal, finetune=finetune)
 
         def traj_of(x):
             # x: (..., B, S, n_free * D) with optional leading axes
@@ -373,15 +417,24 @@ class TrajOptSolver:
             return self._finetune_xla(world, goal, q_start, free0, dt, key)
 
     def _finetune_impl(
-        self, world, goal, q_start, free0, dt, key, solve_fn=None
+        self, world, goal, q_start, free0, dt, key, solve_fn=None,
+        solve_fn_ft=None,
     ) -> TrajOptResult:
         """Finetune rounds + per-problem best-seed merge + final rollout and
-        feasibility, traced as one program (jitted per compute path)."""
+        feasibility, traced as one program (jitted per compute path). The
+        LAST round runs the pose-boosted finetune objective (solve_fn_ft)
+        when configured."""
         cfg = self.cfg
         B = q_start.shape[0]
         best = None  # per-problem best tracker (traced)
         for attempt in range(cfg.finetune_attempts + 1):
-            out = solve_fn(world, goal, q_start, free0, dt, key)
+            fn = (
+                solve_fn_ft
+                if (solve_fn_ft is not None and attempt == cfg.finetune_attempts
+                    and attempt > 0)
+                else solve_fn
+            )
+            out = fn(world, goal, q_start, free0, dt, key)
             ok = out.converged  # (B, S)
             # candidate score: feasible+converged -> motion time, else BIG
             mt = out.dt_retimed * (cfg.bspline.horizon - 1)

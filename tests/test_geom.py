@@ -284,3 +284,34 @@ class TestPointCloudBake:
         assert abs(d_surf) < 0.03        # on the cloud surface
         assert d_far > 0.3               # far outside
         assert d_center < d_surf + 0.11  # interior not farther than surface+box
+
+
+class TestAnonymizedWorld:
+    def test_anonymized_matches_named(self):
+        """`WorldData.anonymized()` (jit-key dedup) must be a pure metadata
+        change: every query result identical, obstacle counts derived from
+        ARRAY shapes — not from the name tuples (regression: name-count
+        loops made anonymized worlds obstacle-free)."""
+        import jax.numpy as jnp
+
+        scene = gt.Scene().add(
+            gt.Cuboid(name="wall", pose=[0.55, 0, 0.5, 1, 0, 0, 0], dims=[0.1, 0.5, 1.0]),
+            gt.SphereObstacle(name="ball", pose=[0.3, 0.2, 0.4, 1, 0, 0, 0], radius=0.07),
+            gt.Capsule(name="post", pose=[0.2, -0.3, 0.3, 1, 0, 0, 0],
+                       base=[0, 0, -0.2], tip=[0, 0, 0.2], radius=0.04),
+        )
+        world = world_mod.compile_scene(scene, capacities={"cuboid": 4})
+        anon = world.anonymized()
+        assert anon.cuboids.names == () and anon.spheres.names == ()
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.uniform(-0.5, 1.0, (64, 3)), jnp.float32)
+        d_named = np.asarray(world_mod.sphere_sdf(world, pts))
+        d_anon = np.asarray(world_mod.sphere_sdf(anon, pts))
+        np.testing.assert_array_equal(d_named, d_anon)
+
+        from curobo_tpu.ops import blast as bl
+
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        b_named = np.asarray(bl.scene_min_sdf_blast(world, x[None], y[None], z[None]))
+        b_anon = np.asarray(bl.scene_min_sdf_blast(anon, x[None], y[None], z[None]))
+        np.testing.assert_array_equal(b_named, b_anon)

@@ -75,3 +75,48 @@ class TestMimicRobot:
             )
         )
         np.testing.assert_allclose(ang, 0.5, atol=1e-4)
+
+
+class TestLockedJoints:
+    def test_with_locked_joints_matches_full_model(self):
+        """`RobotModelConfig.with_locked_joints` (reference `lock_joints`,
+        `cuda_robot_generator`): locking actuated joints at fixed values
+        must reproduce the full model's FK with those values plugged in,
+        with the dof axis reduced."""
+        import numpy as np
+        import jax.numpy as jnp
+        from curobo_tpu.robot.model import RobotModelConfig
+        from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
+
+        path = os.path.join(CONTENT, "ur10e.yml")
+        mc = RobotModelConfig.from_yaml(path)
+        full = Kinematics.from_robot_config(mc)
+        lock = mc.actuated_joints[1]
+        mc2 = mc.with_locked_joints([lock], [0.4])
+        red = Kinematics.from_robot_config(mc2)
+        assert red.params.n_dof == full.params.n_dof - 1
+
+        rng = np.random.RandomState(0)
+        qr = jnp.asarray(rng.uniform(-1.0, 1.0, (4, red.params.n_dof)), jnp.float32)
+        qf = jnp.concatenate(
+            [qr[:, :1], jnp.full((4, 1), 0.4, jnp.float32), qr[:, 1:]], axis=1
+        )
+        sr = compute_kinematics(red.params, qr)
+        sf = compute_kinematics(full.params, qf)
+        np.testing.assert_allclose(
+            np.asarray(sr.tool_pose.position), np.asarray(sf.tool_pose.position),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sr.spheres), np.asarray(sf.spheres), atol=1e-6
+        )
+
+    def test_unknown_joint_raises(self):
+        from curobo_tpu.robot.model import RobotModelConfig
+
+        mc = RobotModelConfig.from_yaml(os.path.join(CONTENT, "ur10e.yml"))
+        try:
+            mc.with_locked_joints(["bogus"])
+            assert False, "expected ValueError"
+        except ValueError as e:
+            assert "bogus" in str(e)
