@@ -47,6 +47,13 @@ class MapperConfig:
     # appearance channels (reference fp16 RGB/feature accumulators)
     rgb_channels: bool = False
     feature_channels: int = 0
+    # static voxel budget for per-frame appearance updates (None = V/8).
+    # Appearance only carries information in the truncation band around the
+    # observed surface — a thin sheet, ~dims^2 * (2*truncation/voxel_size)
+    # voxels — so the update compacts band voxels to this many slots and
+    # gathers/scatters ONLY those instead of streaming every channel
+    # through all V voxels (the TPU gather is the integration bottleneck).
+    appearance_budget: Optional[int] = None
     # ESDF algorithm: "exact" (separable min-plus, O(n^4) work),
     # "jfa" (jump flooding, O(n^3 log n)), or "auto" (exact for <=160^3)
     esdf_mode: str = "auto"
@@ -124,12 +131,17 @@ def _fuse(cfg, grid, tsdf_new, w_new, rgb_new=None, feat_new=None) -> TSDFGrid:
 def integrate_camera(
     cfg: MapperConfig, grid: TSDFGrid, obs: CameraObservation
 ) -> TSDFGrid:
-    """Voxel-centric projective TSDF update (one fused gather pass).
+    """Voxel-centric projective TSDF update (depth-only gather pass).
 
     Also fuses per-pixel RGB / feature channels into the grid accumulators
     when both the config and the observation carry them (reference
-    `wp_integrate_camera_project.py:27-40`)."""
+    `wp_integrate_camera_project.py:27-40`). The TSDF/carving pass gathers
+    ONE channel (depth) per voxel; appearance — which only exists in the
+    thin truncation band around the surface — is compacted to a static
+    `appearance_budget` of voxel slots and gathered/scattered sparsely,
+    instead of streaming every channel through all V voxels."""
     H, W = obs.depth.shape
+    V = int(np.prod(cfg.dims))
     centers = _voxel_centers(cfg).reshape(-1, 3)  # (V, 3)
     # world -> camera
     inv = obs.pose.inverse()
@@ -142,37 +154,49 @@ def integrate_camera(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
     in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 1e-3)
-    # ONE gather for all channels: pack [depth | rgb | feature] into a
-    # (H*W, C) image so the V random lookups hit contiguous rows instead
-    # of C separate gather passes (the TPU gather is the bottleneck here).
-    chans = [obs.depth[..., None]]
-    want_rgb = grid.rgb is not None and obs.rgb is not None
-    want_feat = grid.feature is not None and obs.feature is not None
-    if want_rgb:
-        chans.append(obs.rgb)
-    if want_feat:
-        chans.append(obs.feature)
-    packed = jnp.concatenate(chans, axis=-1).reshape(H * W, -1)
-    rows = jnp.take(packed, vi * W + ui, axis=0)  # (V, C)
-    d = rows[:, 0]
+    flat_px = vi * W + ui
+    d = jnp.take(obs.depth.reshape(H * W), flat_px, axis=0)  # (V,)
     valid = in_img & (d > 0)
     sdf = d - z
     tsdf_new = jnp.clip(sdf, -cfg.truncation, cfg.truncation)
     # integrate only within the truncation band behind the surface
     update = valid & (sdf > -cfg.truncation)
     w_new = jnp.where(update, 1.0, 0.0)
-    # appearance only within the band around the surface
+    out = _fuse(cfg, grid, tsdf_new, w_new)
+
+    want_rgb = grid.rgb is not None and obs.rgb is not None
+    want_feat = grid.feature is not None and obs.feature is not None
+    if not (want_rgb or want_feat):
+        return out
+    # appearance: fuse only the truncation band around the surface via a
+    # static-size compaction (reference semantics — surface color/features;
+    # free-space voxels carry no appearance)
     near = update & (jnp.abs(sdf) <= cfg.truncation)
-    w_app = jnp.where(near, 1.0, 0.0)
-    rgb_new = feat_new = None
-    c0 = 1
+    budget = cfg.appearance_budget or max(V // 8, 1)
+    (vox,) = jnp.nonzero(near, size=budget, fill_value=V)  # V = drop slot
+    safe = jnp.minimum(vox, V - 1)
+    px = jnp.take(flat_px, safe)
+    w_old = jnp.take(grid.weight.reshape(V), safe)
+    den = (w_old + 1.0)[:, None]  # w_new == 1 in the band
+    rgb, feat = out.rgb, out.feature
     if want_rgb:
-        rgb_new = rows[:, c0 : c0 + 3]
-        c0 += 3
-        w_new = jnp.where(near, w_app, w_new)  # same weight field
+        new = jnp.take(obs.rgb.reshape(H * W, 3), px, axis=0)
+        old = jnp.take(grid.rgb.reshape(V, 3), safe, axis=0)
+        fused = (old * w_old[:, None] + new) / den
+        rgb = (
+            grid.rgb.reshape(V, 3).at[vox].set(fused, mode="drop")
+            .reshape(grid.rgb.shape)
+        )
     if want_feat:
-        feat_new = rows[:, c0:]
-    return _fuse(cfg, grid, tsdf_new, w_new, rgb_new, feat_new)
+        F = grid.feature.shape[-1]
+        new = jnp.take(obs.feature.reshape(H * W, F), px, axis=0)
+        old = jnp.take(grid.feature.reshape(V, F), safe, axis=0)
+        fused = (old * w_old[:, None] + new) / den
+        feat = (
+            grid.feature.reshape(V, F).at[vox].set(fused, mode="drop")
+            .reshape(grid.feature.shape)
+        )
+    return TSDFGrid(out.tsdf, out.weight, rgb=rgb, feature=feat)
 
 
 # ---------------------------------------------------------------------------
