@@ -380,6 +380,29 @@ def bench_motion(limit):
     )
 
 
+class _SuiteTimeout(Exception):
+    pass
+
+
+def _with_timeout(fn, seconds):
+    """Best-effort watchdog for a secondary suite: a hung remote TPU
+    compile must degrade to an {"error": ...} entry, not eat the whole
+    bench capture. SIGALRM fires in the main thread; jaxlib's blocking
+    calls check for pending Python signals at their periphery."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _SuiteTimeout(f"suite exceeded {seconds}s watchdog")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(int(seconds))
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     try:
         r = bench_franka_cfik()
@@ -408,23 +431,26 @@ def main():
     }
     if not os.environ.get("BENCH_SKIP_G1"):
         try:
-            out["g1_cfik"] = bench_g1_cfik()
+            out["g1_cfik"] = _with_timeout(bench_g1_cfik, 900)
         except Exception as e:  # secondary suite must not kill the metric
             out["g1_cfik"] = {"error": str(e)[:200]}
     if not os.environ.get("BENCH_SKIP_MPC"):
         try:
-            out["franka_mpc"] = bench_mpc()
+            out["franka_mpc"] = _with_timeout(bench_mpc, 600)
         except Exception as e:
             out["franka_mpc"] = {"error": str(e)[:200]}
     if not os.environ.get("BENCH_SKIP_PERCEPTION"):
         try:
-            out["perception"] = bench_perception()
+            out["perception"] = _with_timeout(bench_perception, 600)
         except Exception as e:
             out["perception"] = {"error": str(e)[:200]}
     if not os.environ.get("BENCH_SKIP_MOTION"):
         try:
-            out["franka_motion_gen"] = bench_motion(
-                int(os.environ.get("BENCH_MOTION_LIMIT", "30"))
+            out["franka_motion_gen"] = _with_timeout(
+                lambda: bench_motion(
+                    int(os.environ.get("BENCH_MOTION_LIMIT", "30"))
+                ),
+                2400,
             )
         except Exception as e:
             out["franka_motion_gen"] = {"error": str(e)[:200]}
