@@ -681,8 +681,7 @@ class PallasTrajCost:
                             acc if acc is not None else jnp.zeros_like(eps[0])
                         )
                 return jnp.stack(rows)
-        lo_np = np.maximum(np.asarray(p.joint_limits.lower, np.float64), -2 * np.pi)
-        hi_np = np.minimum(np.asarray(p.joint_limits.upper, np.float64), 2 * np.pi)
+        lo_np, hi_np = p.dof_clip_bounds()
 
         def clip_x(x):
             # knot rows repeat the dof pattern: row r -> dof r % D. The

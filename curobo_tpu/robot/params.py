@@ -130,6 +130,30 @@ class KinematicsParams:
     def link_index(self, name: str) -> int:
         return self.link_names.index(name)
 
+    # Per-dof joint-type codes (JOINT_REVOLUTE / JOINT_PRISMATIC), derived
+    # from the per-link tables. Host-side (static metadata).
+    def dof_joint_types(self) -> np.ndarray:
+        types = np.full(self.n_dof, JOINT_REVOLUTE, dtype=np.int32)
+        for l, d in enumerate(self.dof_idx):
+            if d >= 0:
+                types[d] = self.joint_type[l]
+        return types
+
+    def dof_clip_bounds(self, angular_cap: float = 2.0 * np.pi):
+        """Optimizer clipping window per dof: REVOLUTE dofs intersect their
+        limits with +-angular_cap (continuous joints would otherwise hand
+        the optimizer a +-16 rad box); PRISMATIC dofs keep their true
+        limits — a floating-base +-10 m translation must stay reachable
+        (clamping it to +-2pi meters silently truncates the workspace,
+        the round-3 G1 free-base failure mode)."""
+        types = self.dof_joint_types()
+        ang = types != JOINT_PRISMATIC
+        lo = np.asarray(self.joint_limits.lower, np.float64)
+        hi = np.asarray(self.joint_limits.upper, np.float64)
+        lo = np.where(ang, np.maximum(lo, -angular_cap), lo)
+        hi = np.where(ang, np.minimum(hi, angular_cap), hi)
+        return lo.astype(np.float32), hi.astype(np.float32)
+
     # Ancestor mask (n_tools, n_links): ancestors[t, l] = 1 if link l is on
     # the chain from base to tool t (inclusive). Host-side, cached.
     def tool_ancestor_mask(self) -> np.ndarray:

@@ -17,6 +17,19 @@ use_pallas: bool = os.environ.get("CUROBO_TPU_PALLAS", "1") == "1"
 # Run Pallas kernels in interpreter mode (CPU debugging).
 pallas_interpret: bool = os.environ.get("CUROBO_TPU_INTERPRET", "0") == "1"
 
+# Force the Pallas solver paths even off-TPU. Tests use this (usually with
+# a mocked/interpret-mode kernel) so the solver-side Pallas glue — kernel
+# cache lifecycle, mark-broken fallback — executes under the CPU suite
+# instead of hiding behind `default_backend() == "tpu"` guards.
+pallas_force: bool = os.environ.get("CUROBO_TPU_PALLAS_FORCE", "0") == "1"
+
+
+def pallas_backend_ok() -> bool:
+    """True when Pallas solver kernels should be used on this backend."""
+    import jax
+
+    return pallas_force or jax.default_backend() == "tpu"
+
 # Extra NaN checking in solvers (disables some fusion-friendly rewrites).
 debug_nan: bool = os.environ.get("CUROBO_TPU_DEBUG_NAN", "0") == "1"
 

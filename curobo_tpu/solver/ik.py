@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from curobo_tpu import runtime
 from curobo_tpu.geom import world as world_mod
 from curobo_tpu.opt.lbfgs import LBFGSConfig, lbfgs_optimize
 from curobo_tpu.opt.mppi import MPPIConfig, mppi_optimize
@@ -199,10 +200,10 @@ class IKSolver:
         n overrides the seed count (LM seed-pool oversampling)."""
         p = self.params
         S = n if n is not None else self.cfg.n_seeds
-        lo, hi = p.joint_limits.lower, p.joint_limits.upper
-        # clamp unbounded (continuous) joints for seeding purposes
-        lo_c = jnp.maximum(lo, -np.pi)
-        hi_c = jnp.minimum(hi, np.pi)
+        # clamp unbounded (continuous) ANGULAR joints to +-pi for seeding;
+        # prismatic dofs (floating base) seed over their full range
+        lo_c, hi_c = p.dof_clip_bounds(angular_cap=np.pi)
+        lo_c, hi_c = jnp.asarray(lo_c), jnp.asarray(hi_c)
         if S - 1 > self._seed_bank.shape[0]:
             self._seed_bank = jnp.asarray(
                 halton_sequence(S - 1, p.n_dof), dtype=jnp.float32
@@ -257,8 +258,8 @@ class IKSolver:
             else self.rollout
         )
 
-        lo = jnp.maximum(p.joint_limits.lower, -2.0 * np.pi)
-        hi = jnp.minimum(p.joint_limits.upper, 2.0 * np.pi)
+        lo, hi = p.dof_clip_bounds()
+        lo, hi = jnp.asarray(lo), jnp.asarray(hi)
 
         def cost(x):  # (B, S, D) or with extra leading particle/cand axes
             return rollout.evaluate_config(world, goal_s, x).cost
@@ -331,7 +332,7 @@ class IKSolver:
                 and world_is_supported(world)
                 and rollout_config_is_supported(self.cfg.rollout)
                 and goal.goal_cspace is None
-                and jax.default_backend() == "tpu"
+                and runtime.pallas_backend_ok()
                 and not self._pallas_cache.is_broken(world)
             )
         world = world.anonymized()  # names are static jit keys

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from curobo_tpu.cost import terms
+from curobo_tpu import runtime
 from curobo_tpu.geom import world as world_mod
 from curobo_tpu.opt.lbfgs import LBFGSConfig, lbfgs_optimize
 from curobo_tpu.opt.mppi import MPPIConfig, mppi_optimize, smooth_sample_transform
@@ -133,7 +134,7 @@ class MPCSolver:
             and world_is_supported(world)
             and traj_config_is_supported(self.cfg.rollout)
             and goal.goal_cspace is None
-            and jax.default_backend() == "tpu"
+            and runtime.pallas_backend_ok()
         )
 
     def _step_impl_pallas(

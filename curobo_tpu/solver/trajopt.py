@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from curobo_tpu import runtime
 from curobo_tpu.geom import world as world_mod
 from curobo_tpu.opt.lbfgs import LBFGSConfig, lbfgs_optimize
 from curobo_tpu.opt.mppi import MPPIConfig, mppi_optimize
@@ -130,6 +131,9 @@ class TrajOptSolver:
                 solve_fn_ft=functools.partial(self._solve_seeds, finetune=True),
             )
         )
+        from curobo_tpu.solver._cache import WorldKeyedCache
+
+        self._pallas_cache = WorldKeyedCache(self._build_pallas_solver)
 
     def _scaled_rollout_cfg(self):
         """Rollout config with pose weights boosted for the last finetune
@@ -147,9 +151,6 @@ class TrajOptSolver:
                 rotation_weight=pc.rotation_weight * s,
             ),
         )
-        from curobo_tpu.solver._cache import WorldKeyedCache
-
-        self._pallas_cache = WorldKeyedCache(self._build_pallas_solver)
 
     # ------------------------------------------------------------------
     def _build_pallas_solver(self, world):
@@ -209,7 +210,7 @@ class TrajOptSolver:
             and world_is_supported(world)
             and traj_config_is_supported(self.cfg.rollout)
             and goal.goal_cspace is None
-            and jax.default_backend() == "tpu"
+            and runtime.pallas_backend_ok()
         )
 
     def _solve_seeds_pallas(
