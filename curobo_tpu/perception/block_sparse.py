@@ -54,10 +54,19 @@ class BlockSparseConfig:
     truncation: float = 0.06
     max_weight: float = 64.0
     occupancy_threshold: float = 0.0
-    # cap on NEW blocks considered per integrate call (insert-loop length)
+    # cap on blocks TOUCHED per integrate call: the frame-active set (blocks
+    # in the observed truncation band this frame) is compacted to this many
+    # static slots; only their payloads are gathered, updated, scattered.
+    # Per-frame cost is O(active_blocks * block_size^3), independent of both
+    # workspace volume AND pool capacity (the dense grid streams O(extent^3)
+    # voxels; the round-3 sparse path streamed the whole pool).
     max_new_blocks_per_frame: int = 1024
     # depth-image subsample stride for block discovery
     discovery_stride: int = 4
+    # appearance accumulators (reference fp16 RGB/feature channels,
+    # `wp_integrate_camera_project.py:27-40`) — stored per pool block
+    rgb_channels: bool = False
+    feature_channels: int = 0
 
     def __post_init__(self):
         if self.table_size & (self.table_size - 1):
@@ -82,6 +91,8 @@ class BlockSparseTSDF:
     dropped_blocks: jnp.ndarray  # () int32 candidates dropped at capacity
     tsdf: jnp.ndarray  # (P, b, b, b) f32
     weight: jnp.ndarray  # (P, b, b, b) f32
+    rgb: Optional[jnp.ndarray] = None  # (P, b, b, b, 3) f32 weighted mean
+    feature: Optional[jnp.ndarray] = None  # (P, b, b, b, F) f32
 
     @property
     def nbytes(self) -> int:
@@ -94,6 +105,8 @@ class BlockSparseTSDF:
                 self.tsdf,
                 self.weight,
             )
+            + ((self.rgb,) if self.rgb is not None else ())
+            + ((self.feature,) if self.feature is not None else ())
         )
 
 
@@ -107,6 +120,14 @@ def make_sparse_grid(cfg: BlockSparseConfig) -> BlockSparseTSDF:
         dropped_blocks=jnp.int32(0),
         tsdf=jnp.full((P, b, b, b), cfg.truncation, jnp.float32),
         weight=jnp.zeros((P, b, b, b), jnp.float32),
+        rgb=(
+            jnp.zeros((P, b, b, b, 3), jnp.float32) if cfg.rgb_channels else None
+        ),
+        feature=(
+            jnp.zeros((P, b, b, b, cfg.feature_channels), jnp.float32)
+            if cfg.feature_channels > 0
+            else None
+        ),
     )
 
 
@@ -262,26 +283,63 @@ def _discover_blocks(cfg: BlockSparseConfig, obs: CameraObservation) -> jnp.ndar
 def integrate_camera_sparse(
     cfg: BlockSparseConfig, grid: BlockSparseTSDF, obs: CameraObservation
 ) -> BlockSparseTSDF:
-    """Allocate blocks touched by the frame, then run the voxel-centric
-    projective update over the WHOLE pool (masked) — the dense integrator
-    semantics (`mapper.integrate_camera`) restricted to allocated blocks."""
-    # ---- allocation ----
+    """Allocate blocks in the observed band, then run the voxel-centric
+    projective update (dense `mapper.integrate_camera` semantics incl.
+    RGB/feature fusion) over ONLY the frame-active block set.
+
+    TPU shape: the active set is a static `max_new_blocks_per_frame`-slot
+    compaction; payloads are gathered from the pool, updated as one
+    (A*b^3)-lane vector op, and scattered back (drop-mode for dead slots).
+    Per-frame traffic is O(active surface), not O(pool) / O(extent^3) —
+    the redesign of the reference's per-block CUDA launch
+    (`wp_integrate_camera_project.py:27-40`)."""
+    # ---- discovery + allocation ----
     cand = _discover_blocks(cfg, obs)
     keys = _encode(cand)
     uniq = jnp.unique(keys, size=cfg.max_new_blocks_per_frame, fill_value=_FREE)
-    grid = allocate_blocks(cfg, grid, _decode(uniq))
+    # steady-state frames re-observe allocated blocks: skip the sequential
+    # insert loop entirely unless the frame actually saw a NEW block
+    # (lax.cond executes one branch on TPU)
+    pre = _lookup(cfg, grid, uniq)
+    has_new = jnp.any((pre < 0) & (uniq != _FREE))
+    tk, ts, pc, n, dr = jax.lax.cond(
+        has_new,
+        lambda g: (
+            lambda g2: (
+                g2.table_key,
+                g2.table_slot,
+                g2.pool_coords,
+                g2.n_alloc,
+                g2.dropped_blocks,
+            )
+        )(allocate_blocks(cfg, g, _decode(uniq))),
+        lambda g: (g.table_key, g.table_slot, g.pool_coords, g.n_alloc, g.dropped_blocks),
+        grid,
+    )
+    grid = dataclasses.replace(
+        grid, table_key=tk, table_slot=ts, pool_coords=pc, n_alloc=n,
+        dropped_blocks=dr,
+    )
 
-    # ---- integration over the pool ----
+    # ---- frame-active set: the band blocks, now resolved to pool slots ----
     b = cfg.block_size
     P = cfg.pool_blocks
+    A = cfg.max_new_blocks_per_frame
     H, W = obs.depth.shape
-    # voxel centers of every pool block: (P, b, b, b, 3)
+    slots = _lookup(cfg, grid, uniq)  # (A,) pool index or -1
+    valid = (uniq != _FREE) & (slots >= 0)
+    slot_g = jnp.where(valid, slots, 0)  # safe gather index
+    slot_s = jnp.where(valid, slots, P)  # OOB -> dropped on scatter
+
+    coords = grid.pool_coords[slot_g]  # (A, 3)
     offs = (jnp.arange(b) + 0.5) * cfg.voxel_size
     ox, oy, oz = jnp.meshgrid(offs, offs, offs, indexing="ij")
     local = jnp.stack([ox, oy, oz], axis=-1)  # (b, b, b, 3)
-    base = grid.pool_coords.astype(jnp.float32) * cfg.block_extent  # (P, 3)
-    centers = base[:, None, None, None, :] + local[None]  # (P, b, b, b, 3)
-    flat = centers.reshape(-1, 3)
+    centers = (
+        coords.astype(jnp.float32)[:, None, None, None, :] * cfg.block_extent
+        + local[None]
+    )  # (A, b, b, b, 3)
+    flat = centers.reshape(-1, 3)  # (A*b^3, 3)
 
     inv = obs.pose.inverse()
     pc = inv.transform_points(flat[None])[0]
@@ -293,26 +351,53 @@ def integrate_camera_sparse(
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
     in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 1e-3)
-    d = obs.depth[vi, ui]
+    flat_px = vi * W + ui
+    d = jnp.take(obs.depth.reshape(H * W), flat_px, axis=0)
     sdf = d - z
-    live = jnp.broadcast_to(
-        (jnp.arange(P) < grid.n_alloc)[:, None, None, None], (P, b, b, b)
-    ).reshape(-1)
+    live = jnp.broadcast_to(valid[:, None, None, None], (A, b, b, b)).reshape(-1)
     update = live & in_img & (d > 0) & (sdf > -cfg.truncation)
     tsdf_new = jnp.clip(sdf, -cfg.truncation, cfg.truncation)
     w_new = jnp.where(update, 1.0, 0.0)
 
-    t_old = grid.tsdf.reshape(-1)
-    w_old = grid.weight.reshape(-1)
+    t_old = grid.tsdf[slot_g].reshape(-1)  # (A*b^3,)
+    w_old = grid.weight[slot_g].reshape(-1)
     w_sum = w_old + w_new
-    tsdf = jnp.where(
-        w_sum > 0, (t_old * w_old + tsdf_new * w_new) / jnp.maximum(w_sum, 1e-6), t_old
+    denom = jnp.maximum(w_sum, 1e-6)
+    t_new = jnp.where(w_sum > 0, (t_old * w_old + tsdf_new * w_new) / denom, t_old)
+    w_cap = jnp.minimum(w_sum, cfg.max_weight)
+
+    blk = (A, b, b, b)
+    out = dataclasses.replace(
+        grid,
+        tsdf=grid.tsdf.at[slot_s].set(t_new.reshape(blk), mode="drop"),
+        weight=grid.weight.at[slot_s].set(w_cap.reshape(blk), mode="drop"),
     )
-    w = jnp.minimum(w_sum, cfg.max_weight)
-    shape = grid.tsdf.shape
-    return dataclasses.replace(
-        grid, tsdf=tsdf.reshape(shape), weight=w.reshape(shape)
-    )
+
+    want_rgb = grid.rgb is not None and obs.rgb is not None
+    want_feat = grid.feature is not None and obs.feature is not None
+    if not (want_rgb or want_feat):
+        return out
+    # appearance fuses only inside the truncation band around the surface
+    # (dense-path semantics; free-space voxels carry no appearance)
+    band = (update & (jnp.abs(sdf) <= cfg.truncation))[:, None]
+    rgb = out.rgb
+    feat = out.feature
+    if want_rgb:
+        new = jnp.take(obs.rgb.reshape(H * W, 3), flat_px, axis=0)
+        old = grid.rgb[slot_g].reshape(-1, 3)
+        fused = jnp.where(
+            band, (old * w_old[:, None] + new * w_new[:, None]) / denom[:, None], old
+        )
+        rgb = grid.rgb.at[slot_s].set(fused.reshape(blk + (3,)), mode="drop")
+    if want_feat:
+        F = grid.feature.shape[-1]
+        new = jnp.take(obs.feature.reshape(H * W, F), flat_px, axis=0)
+        old = grid.feature[slot_g].reshape(-1, F)
+        fused = jnp.where(
+            band, (old * w_old[:, None] + new * w_new[:, None]) / denom[:, None], old
+        )
+        feat = grid.feature.at[slot_s].set(fused.reshape(blk + (F,)), mode="drop")
+    return dataclasses.replace(out, rgb=rgb, feature=feat)
 
 
 # ---------------------------------------------------------------------------
@@ -380,9 +465,20 @@ def extract_dense(
     s = jnp.where(ok, slot, 0)
     val = grid.tsdf[s, li[..., 0], li[..., 1], li[..., 2]]
     wgt = grid.weight[s, li[..., 0], li[..., 1], li[..., 2]]
+    rgb = feat = None
+    if grid.rgb is not None:
+        rgb = jnp.where(
+            ok[..., None], grid.rgb[s, li[..., 0], li[..., 1], li[..., 2]], 0.0
+        )
+    if grid.feature is not None:
+        feat = jnp.where(
+            ok[..., None], grid.feature[s, li[..., 0], li[..., 1], li[..., 2]], 0.0
+        )
     return TSDFGrid(
         tsdf=jnp.where(ok, val, cfg.truncation),
         weight=jnp.where(ok, wgt, 0.0),
+        rgb=rgb,
+        feature=feat,
     )
 
 
@@ -437,6 +533,11 @@ class BlockSparseMapper:
 
     # ---- checkpointing (metadata-validated, mapper.save/load parity) ----
     def save(self, path: str) -> None:
+        extra = {}
+        if self.grid.rgb is not None:
+            extra["rgb"] = np.asarray(self.grid.rgb)
+        if self.grid.feature is not None:
+            extra["feature"] = np.asarray(self.grid.feature)
         np.savez_compressed(
             path,
             table_key=np.asarray(self.grid.table_key),
@@ -448,6 +549,7 @@ class BlockSparseMapper:
             weight=np.asarray(self.grid.weight),
             block_size=self.cfg.block_size,
             voxel_size=self.cfg.voxel_size,
+            **extra,
         )
 
     def load(self, path: str) -> None:
@@ -472,4 +574,6 @@ class BlockSparseMapper:
             dropped_blocks=jnp.asarray(d["dropped"]),
             tsdf=jnp.asarray(d["tsdf"]),
             weight=jnp.asarray(d["weight"]),
+            rgb=jnp.asarray(d["rgb"]) if "rgb" in d else None,
+            feature=jnp.asarray(d["feature"]) if "feature" in d else None,
         )

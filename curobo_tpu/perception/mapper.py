@@ -588,11 +588,42 @@ def refine_camera_pose(
 class Mapper:
     """Facade bundling config + functional state, mirroring the reference's
     `Mapper` public surface (integrate / compute_esdf / render /
-    refine_pose / decay / stamp / get_voxel_grid / save & load)."""
+    refine_pose / decay / stamp / get_voxel_grid / save & load).
 
-    def __init__(self, cfg: MapperConfig = MapperConfig()):
+    storage="sparse" backs the map with the block-sparse pool
+    (`block_sparse.py` — the reference's default storage,
+    `mapper/storage.py:493`): camera integration touches only the observed
+    surface band per frame; dense reads (`self.grid`, ESDF, render) are
+    rasterized from the pool over this config's dims/origin window on
+    demand."""
+
+    def __init__(self, cfg: MapperConfig = MapperConfig(), storage: str = "dense"):
+        if storage not in ("dense", "sparse"):
+            raise ValueError(f"storage must be 'dense' or 'sparse', got {storage!r}")
         self.cfg = cfg
-        self.grid = make_grid(cfg)
+        self.storage = storage
+        self._sparse = None
+        if storage == "sparse":
+            from curobo_tpu.perception.block_sparse import (
+                BlockSparseConfig,
+                BlockSparseMapper,
+                extract_dense,
+            )
+
+            self._sparse = BlockSparseMapper(
+                BlockSparseConfig(
+                    voxel_size=cfg.voxel_size,
+                    truncation=cfg.truncation,
+                    max_weight=cfg.max_weight,
+                    occupancy_threshold=cfg.occupancy_threshold,
+                    rgb_channels=cfg.rgb_channels,
+                    feature_channels=cfg.feature_channels,
+                )
+            )
+            self._extract = jax.jit(
+                lambda g: extract_dense(self._sparse.cfg, g, cfg.dims, cfg.origin)
+            )
+        self._dense_grid = make_grid(cfg) if storage == "dense" else None
         self._integrate_cam = jax.jit(lambda g, o: integrate_camera(self.cfg, g, o))
         self._integrate_lidar = jax.jit(lambda g, o: integrate_lidar(self.cfg, g, o))
         self._integrate_lidar_pts = jax.jit(
@@ -603,10 +634,37 @@ class Mapper:
             lambda g, f: decay(self.cfg, g, f), static_argnums=()
         )
 
+    @property
+    def grid(self) -> TSDFGrid:
+        """Dense view of the map (rasterized from the pool in sparse mode)."""
+        if self.storage == "sparse":
+            return self._extract(self._sparse.grid)
+        return self._dense_grid
+
+    @grid.setter
+    def grid(self, value: TSDFGrid) -> None:
+        if self.storage == "sparse":
+            raise AttributeError(
+                "sparse-backed Mapper: the dense grid is a rasterized view; "
+                "mutate through integrate()/decay()/load()"
+            )
+        self._dense_grid = value
+
     def reset(self):
-        self.grid = make_grid(self.cfg)
+        if self.storage == "sparse":
+            self._sparse.reset()
+        else:
+            self._dense_grid = make_grid(self.cfg)
 
     def integrate(self, obs, carve: bool = True) -> None:
+        if self.storage == "sparse":
+            if not isinstance(obs, CameraObservation):
+                raise TypeError(
+                    "sparse-backed Mapper integrates CameraObservation only; "
+                    "use storage='dense' for LiDAR carving"
+                )
+            self._sparse.integrate(obs)
+            return
         if isinstance(obs, CameraObservation):
             self.grid = self._integrate_cam(self.grid, obs)
         elif isinstance(obs, LidarObservation):
@@ -616,9 +674,17 @@ class Mapper:
             raise TypeError(f"unsupported observation type {type(obs)}")
 
     def decay(self, factor: float = 0.95) -> None:
-        self.grid = self._decay(self.grid, factor)
+        if self.storage == "sparse":
+            self._sparse.decay(factor)
+        else:
+            self.grid = self._decay(self.grid, factor)
 
     def stamp(self, world) -> None:
+        if self.storage == "sparse":
+            raise TypeError(
+                "sparse-backed Mapper: obstacle stamping operates on the "
+                "dense grid; use storage='dense'"
+            )
         self.grid = stamp_obstacles(self.cfg, self.grid, world)
 
     def compute_esdf(self) -> jnp.ndarray:
@@ -663,6 +729,9 @@ class Mapper:
     # ---- checkpointing (parity: mapper.py:402-451 + checkpoint_blocks.py
     # metadata validation) ----
     def save(self, path: str) -> None:
+        if self.storage == "sparse":
+            self._sparse.save(path)
+            return
         extra = {}
         if self.grid.rgb is not None:
             extra["rgb"] = np.asarray(self.grid.rgb)
@@ -679,6 +748,9 @@ class Mapper:
         )
 
     def load(self, path: str) -> None:
+        if self.storage == "sparse":
+            self._sparse.load(path)
+            return
         d = np.load(path)
         if tuple(d["dims"]) != self.cfg.dims:
             raise ValueError(

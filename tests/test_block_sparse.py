@@ -154,6 +154,98 @@ class TestIntegration:
         assert sparse.grid.nbytes < dense_bytes / 50
 
 
+class TestDenseSparseExact:
+    """With the dense origin on the sparse lattice ((k+0.5)*voxel_size),
+    both integrators update the SAME voxel centers — values must agree
+    exactly (incl. appearance channels) wherever the sparse map allocated."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        rng = np.random.RandomState(0)
+        H, W = 96, 128
+        f = W / (2.0 * np.tan(np.radians(60.0) / 2))
+        K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+        obs = []
+        for i in range(2):
+            depth = jnp.asarray(
+                1.2 + 0.2 * rng.rand(H, W).astype(np.float32)
+            )
+            obs.append(
+                CameraObservation(
+                    depth=depth,
+                    intrinsics=K,
+                    pose=Pose(
+                        jnp.asarray([0.05 * i, 0.0, -0.5]),
+                        jnp.asarray([1.0, 0, 0, 0]),
+                    ),
+                    rgb=jnp.asarray(rng.rand(H, W, 3), jnp.float32),
+                    feature=jnp.asarray(rng.rand(H, W, 4), jnp.float32),
+                )
+            )
+        dense_cfg = MapperConfig(
+            dims=(64, 64, 80),
+            voxel_size=0.02,
+            origin=(-0.63, -0.63, -0.49),  # = (k+0.5)*vs -> lattice-aligned
+            rgb_channels=True,
+            feature_channels=4,
+        )
+        dense = Mapper(dense_cfg)
+        sparse = Mapper(dense_cfg, storage="sparse")
+        for o in obs:
+            dense.integrate(o)
+            sparse.integrate(o)
+        return dense, sparse
+
+    def test_tsdf_weight_exact(self, pair):
+        dense, sparse = pair
+        dg, sg = dense.grid, sparse.grid
+        m = np.asarray(sg.weight) > 0  # sparse observed voxels
+        assert m.sum() > 500
+        np.testing.assert_allclose(
+            np.asarray(sg.tsdf)[m], np.asarray(dg.tsdf)[m], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sg.weight)[m], np.asarray(dg.weight)[m], atol=1e-5
+        )
+
+    def test_appearance_exact_in_band(self, pair):
+        dense, sparse = pair
+        dg, sg = dense.grid, sparse.grid
+        # appearance only lives in the truncation band; compare where the
+        # sparse map fused any (nonzero channels)
+        m = (np.asarray(sg.weight) > 0) & (
+            np.abs(np.asarray(sg.rgb)).sum(-1) > 0
+        )
+        assert m.sum() > 100
+        np.testing.assert_allclose(
+            np.asarray(sg.rgb)[m], np.asarray(dg.rgb)[m], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sg.feature)[m], np.asarray(dg.feature)[m], atol=1e-4
+        )
+
+    def test_sparse_mapper_esdf_and_checkpoint(self, pair):
+        _, sparse = pair
+        esdf = sparse.compute_esdf()
+        assert esdf.shape == sparse.cfg.dims
+        assert np.isfinite(np.asarray(esdf)).all()
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "sp.npz")
+            sparse.save(path)
+            m2 = Mapper(sparse.cfg, storage="sparse")
+            m2.load(path)
+            np.testing.assert_array_equal(
+                np.asarray(m2.grid.tsdf), np.asarray(sparse.grid.tsdf)
+            )
+
+    def test_sparse_mapper_rejects_dense_only_ops(self, pair):
+        _, sparse = pair
+        with pytest.raises(TypeError):
+            sparse.stamp(None)
+        with pytest.raises(AttributeError):
+            sparse.grid = None
+
+
 class TestFacade:
     def test_decay_clears(self):
         cfg = BlockSparseConfig(pool_blocks=256, table_size=1024)
