@@ -56,6 +56,52 @@ class TestPRM:
         assert res.paths.shape == (B, planner.cfg.max_path_nodes, 7)
         assert res.success.shape == (B,)
 
+    def test_growth_connects_sparse_roadmap(self, kin, wall_world):
+        """A roadmap too sparse to cross the wall must connect after
+        informed growth rounds (reference `graph_planner_prm.py:190-223`)
+        — and must FAIL without them (the growth is what fixed it)."""
+        q_start = jnp.asarray([[1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        q_goal = jnp.asarray([[-1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        base = dict(n_nodes=24, k_neighbors=6)
+        no_growth = PRMGraphPlanner(
+            kin.params, PRMConfig(growth_rounds=0, **base)
+        ).plan(wall_world, q_start, q_goal)
+        grown = PRMGraphPlanner(
+            kin.params,
+            PRMConfig(growth_rounds=4, growth_nodes=160, **base),
+        ).plan(wall_world, q_start, q_goal)
+        assert not no_growth.success[0]
+        assert grown.success[0]
+
+    def test_shortcut_reduces_path_length(self, kin, wall_world):
+        q_start = jnp.asarray([[1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        q_goal = jnp.asarray([[-1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        raw = PRMGraphPlanner(
+            kin.params, PRMConfig(n_nodes=256, shortcut_rounds=0)
+        ).plan(wall_world, q_start, q_goal)
+        cut = PRMGraphPlanner(
+            kin.params, PRMConfig(n_nodes=256, shortcut_rounds=2)
+        ).plan(wall_world, q_start, q_goal)
+        assert raw.success[0] and cut.success[0]
+        assert cut.path_lengths[0] <= raw.path_lengths[0] + 1e-5
+        # shortcut waypoints stay collision-free
+        planner = PRMGraphPlanner(kin.params, PRMConfig(n_nodes=256))
+        ok = np.asarray(planner._check_q(wall_world, cut.paths[0]))
+        assert ok.all()
+
+    def test_informed_samples_inside_spheroid(self, kin):
+        planner = PRMGraphPlanner(kin.params, PRMConfig(informed_scale=1.5))
+        rng = np.random.RandomState(0)
+        s = np.zeros(7, np.float32) - 0.4
+        g = np.zeros(7, np.float32) + 0.4
+        pts = planner._informed_samples(rng, s, g, 256)
+        c_min = np.linalg.norm(g - s)
+        c_max = 1.5 * c_min
+        ell = np.linalg.norm(pts - s, axis=-1) + np.linalg.norm(pts - g, axis=-1)
+        assert np.all(ell <= c_max + 1e-4)
+        # samples concentrate near the segment, not uniformly in the box
+        assert np.std(pts) < 1.0
+
     def test_straight_line_fallback(self, kin):
         # Empty world, trivial problem: path must exist and be ~straight.
         world = wm.empty_world()
