@@ -23,6 +23,7 @@ import numpy as np
 
 BASELINE_CFIK_MS = 2.73  # docs/reference/benchmarks.rst:71 (franka, b=100, 32 seeds)
 BASELINE_G1_CFIK_MS = 526.87  # docs/reference/benchmarks.rst:67
+BASELINE_DUAL_UR10E_CFIK_MS = 15.64  # docs/reference/benchmarks.rst:69 (99.2 %)
 BASELINE_MOTION_P98_MS = 81.0  # docs/reference/benchmarks.rst:15
 
 
@@ -128,6 +129,81 @@ def bench_franka_cfik():
     )
 
 
+def bench_dual_ur10e_cfik():
+    """Dual-arm UR10e CF-IK vs the reference's 15.64 ms / 99.2 % row
+    (`docs/reference/benchmarks.rst:69`): 2 tool frames, 12 dof, batch 100,
+    goals = FK of collision-free sampled configs, 5 mm threshold. Multi-tool
+    goals route to the blast path (the pallas kernel tracks one tool)."""
+    import jax
+    import jax.numpy as jnp
+
+    from curobo_tpu.collision.robot_scene import RobotSceneCollision
+    from curobo_tpu.geom import types as gt
+    from curobo_tpu.geom import world as wm
+    from curobo_tpu.opt.lbfgs import LBFGSConfig, LineSearchConfig
+    from curobo_tpu.opt.mppi import MPPIConfig
+    from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
+    from curobo_tpu.solver.ik import IKConfig, IKSolver
+    from curobo_tpu.types.pose import Pose
+
+    kin = Kinematics.from_robot_yaml("curobo_tpu/content/robots/dual_ur10e.yml")
+    p = kin.params
+    world = wm.compile_scene(
+        gt.Scene().add(
+            gt.Cuboid(name="table", pose=[0.0, 0.0, -0.1, 1, 0, 0, 0],
+                      dims=[4.0, 4.0, 0.2])
+        )
+    )
+    B = 100
+    rsc = RobotSceneCollision(p)
+    rng = np.random.RandomState(11)
+    lo = np.maximum(np.asarray(p.joint_limits.lower), -np.pi)
+    hi = np.minimum(np.asarray(p.joint_limits.upper), np.pi)
+    q_pool, got = [], 0
+    while got < B:
+        cand = rng.uniform(lo, hi, (4 * B, p.n_dof)).astype(np.float32)
+        ok = np.asarray(rsc.validate(world, jnp.asarray(cand)))
+        q_pool.append(cand[ok])
+        got += int(ok.sum())
+    q_goal = jnp.asarray(np.concatenate(q_pool)[:B])
+    st = compute_kinematics(p, q_goal)
+    goals = Pose(st.tool_pose.position, st.tool_pose.quaternion)  # (B, 2)
+
+    solver = IKSolver(
+        p,
+        IKConfig(
+            n_seeds=16,
+            use_lm_seed=True,
+            lm_seed_iters=12,
+            lm_seed_pool=48,
+            mppi=MPPIConfig(n_particles=16, n_iters=4, init_std=0.5),
+            lbfgs=LBFGSConfig(
+                history=10, n_iters=30,
+                line_search=LineSearchConfig(
+                    scales=(0.05, 0.2, 0.5, 0.8, 1.0, 1.4)
+                ),
+            ),
+        ),
+    )
+    res = solver.solve_pose(world, goals, seed_state=p.retract_config)
+    res.solution.block_until_ready()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = solver.solve_pose(world, goals, seed_state=p.retract_config)
+        res.solution.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    pe = np.asarray(res.position_error)
+    ms = float(np.min(times) * 1000.0)
+    return dict(
+        ms=round(ms, 2),
+        success_rate=round(float(jnp.mean(res.success.astype(jnp.float32))), 4),
+        position_error_mm_p90=round(float(np.percentile(pe, 90) * 1e3), 4),
+        batch=B,
+        vs_baseline=round(BASELINE_DUAL_UR10E_CFIK_MS / ms, 3),
+    )
+
+
 def bench_g1_cfik():
     """G1 humanoid whole-body CF-IK vs the reference's 526.87 ms / 98.4 %
     row, matching its protocol (`benchmark/ik_benchmark.py:50-120`):
@@ -151,9 +227,12 @@ def bench_g1_cfik():
     from curobo_tpu.robot.model import RobotModelConfig
 
     mc = RobotModelConfig.from_yaml("curobo_tpu/content/robots/unitree_g1.yml")
-    # fixed base (reference G1 parity — ours carries a floating base for
-    # retargeting; lock it at the retract pose for the CF-IK row)
-    mc = mc.with_locked_joints(mc.actuated_joints[:6])
+    # FREE floating base — reference parity: the G1 benchmark config keeps
+    # base_j_* in cspace (no lock_joints; `configs/robot/unitree_g1.yml`
+    # cspace.joint_names), so goals carry sampled base placements and the
+    # solve has the full 49-dof redundancy. (Round 3 locked the base, which
+    # turns the feet goals into a needle-in-haystack exact-root problem —
+    # the 0 %-success bug.)
     kin = Kinematics.from_robot_config(mc)
     p = kin.params
     cfg = IKConfig.from_yaml("curobo_tpu/content/tasks/ik_g1.yml")
@@ -172,12 +251,13 @@ def bench_g1_cfik():
     )
 
     B = 100
-    # collision-free sampled goal configs (full joint range + rejection,
-    # reference `sample_configs` protocol)
+    # collision-free sampled goal configs over the FULL joint limits incl.
+    # the floating base (reference `sample_configs` protocol: Halton bounded
+    # to joint limits, rejection on collision)
     rsc = RobotSceneCollision(p)
     rng = np.random.RandomState(7)
-    lo = np.maximum(np.asarray(p.joint_limits.lower), -np.pi)
-    hi = np.minimum(np.asarray(p.joint_limits.upper), np.pi)
+    lo = np.asarray(p.joint_limits.lower)
+    hi = np.asarray(p.joint_limits.upper)
     q_pool = []
     got = 0
     while got < B:
@@ -282,10 +362,20 @@ def bench_perception():
     """Perception throughput: dual-RGBD feature-TSDF integration per frame
     pair (reference claim: 2 ms/frame, `docs/index.rst:19`) and depth->ESDF
     regeneration (reference claim: up to 10x faster than SOTA, README.md:21).
-    128^3 grid @ 2 cm, two 480x640 RGB-D cameras with 8-dim feature maps."""
+    Two 480x640 RGB-D cameras with 8-dim feature maps.
+
+    Headline = the BLOCK-SPARSE integrator (the reference's storage mode,
+    `wp_integrate_camera_project.py:27-40`): per-frame work is the observed
+    surface band, not the workspace volume. The dense 128^3 path rides
+    along as a secondary number."""
     import jax
     import jax.numpy as jnp
 
+    from curobo_tpu.perception.block_sparse import (
+        BlockSparseConfig,
+        integrate_camera_sparse,
+        make_sparse_grid,
+    )
     from curobo_tpu.perception.mapper import (
         MapperConfig,
         compute_esdf,
@@ -295,7 +385,6 @@ def bench_perception():
     from curobo_tpu.perception.types import CameraObservation
     from curobo_tpu.types.pose import Pose
 
-    cfg = MapperConfig(dims=(128, 128, 128), rgb_channels=True, feature_channels=8)
     H, W = 480, 640
     f = W / (2.0 * np.tan(np.radians(60.0) / 2))
     K_intr = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
@@ -315,40 +404,59 @@ def bench_perception():
     obs_a = [make_obs(k, [0.0, 0.0, -1.2]) for k in keys[:4]]
     obs_b = [make_obs(k, [0.3, 0.0, -1.2]) for k in keys[4:]]
 
+    def time_frames(frame, grid):
+        grid = frame(grid, obs_a[0], obs_b[0])  # compile
+        jax.block_until_ready(grid)
+        K, integ = 8, []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            for i in range(K):
+                grid = frame(grid, obs_a[i % 4], obs_b[i % 4])
+            jax.block_until_ready(grid)
+            integ.append((time.perf_counter() - t0) / K)
+        return float(np.min(integ) * 1000.0), grid
+
+    # ---- block-sparse (headline) ----
+    scfg = BlockSparseConfig(
+        pool_blocks=4096, table_size=16384, rgb_channels=True,
+        feature_channels=8,
+    )
+
     @jax.jit
-    def frame(grid, o1, o2):
+    def sparse_frame(grid, o1, o2):
+        return integrate_camera_sparse(
+            scfg, integrate_camera_sparse(scfg, grid, o1), o2
+        )
+
+    sparse_ms, sgrid = time_frames(sparse_frame, make_sparse_grid(scfg))
+    n_blocks = int(sgrid.n_alloc)
+
+    # ---- dense 128^3 (secondary) ----
+    cfg = MapperConfig(dims=(128, 128, 128), rgb_channels=True, feature_channels=8)
+
+    @jax.jit
+    def dense_frame(grid, o1, o2):
         return integrate_camera(cfg, integrate_camera(cfg, grid, o1), o2)
 
+    dense_ms, grid = time_frames(dense_frame, make_grid(cfg))
+
     esdf_jit = jax.jit(lambda g: compute_esdf(cfg, g))
-
-    grid = make_grid(cfg)
-    grid = frame(grid, obs_a[0], obs_b[0])  # compile
-    jax.block_until_ready(grid)
     esdf_jit(grid).block_until_ready()
-
-    K = 8
-    integ = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        for i in range(K):
-            grid = frame(grid, obs_a[i % 4], obs_b[i % 4])
-        jax.block_until_ready(grid)
-        integ.append((time.perf_counter() - t0) / K)
-
-    esdf = []
+    K, esdf = 8, []
     for _ in range(6):
         t0 = time.perf_counter()
         for _ in range(K):
             d = esdf_jit(grid)
         d.block_until_ready()
         esdf.append((time.perf_counter() - t0) / K)
-
-    frame_ms = float(np.min(integ) * 1000.0)
     esdf_ms = float(np.min(esdf) * 1000.0)
+
     return dict(
-        dual_rgbd_feature_integrate_ms=round(frame_ms, 3),
+        dual_rgbd_feature_integrate_ms=round(sparse_ms, 3),
+        allocated_blocks=n_blocks,
+        dense_integrate_ms=round(dense_ms, 3),
         esdf_128_ms=round(esdf_ms, 3),
-        vs_baseline=round(2.0 / frame_ms, 3),  # 2 ms/frame reference claim
+        vs_baseline=round(2.0 / sparse_ms, 3),  # 2 ms/frame reference claim
     )
 
 
@@ -429,6 +537,11 @@ def main():
         "tunnel_rtt_floor_ms": r["rtt_floor_ms"],
         "success_rate": round(r["success"], 4),
     }
+    if not os.environ.get("BENCH_SKIP_DUAL"):
+        try:
+            out["dual_ur10e_cfik"] = _with_timeout(bench_dual_ur10e_cfik, 600)
+        except Exception as e:
+            out["dual_ur10e_cfik"] = {"error": str(e)[:200]}
     if not os.environ.get("BENCH_SKIP_G1"):
         try:
             out["g1_cfik"] = _with_timeout(bench_g1_cfik, 900)
