@@ -287,7 +287,8 @@ class TestG1Retarget:
             st.tool_pose.position[None] + jnp.asarray([0.10, 0.0, 0.0]),
             st.tool_pose.quaternion[None],
         )
-        q, cost = rt.solve_frame(goal, q0[None])
+        res = rt.solve_frame(goal, q0[None])
+        q = res.joint_state.position
         st2 = compute_kinematics(p, q[0])
         err = np.linalg.norm(
             np.asarray(st2.tool_pose.position - goal.position[0]), axis=-1

@@ -123,6 +123,62 @@ class TestRetargeter:
         err = float(jnp.linalg.norm(st2.tool_pose.position[0] - seq_pos[-1, 0]))
         assert err < 0.02
 
+    def test_global_ik_first_frame(self, kin):
+        """Without a warm start, frame 0 runs multi-seed global IK
+        (reference `_solve_global_ik`)."""
+        from curobo_tpu.motion.retargeter import RetargetConfig
+
+        rt = MotionRetargeter(
+            kin.params, RetargetConfig(global_seeds=8)
+        )
+        qg = kin.params.retract_config + 0.3
+        st = compute_kinematics(kin.params, qg)
+        goal = Pose(st.tool_pose.position[None], st.tool_pose.quaternion[None])
+        res = rt.solve_frame(goal)  # no q_prev: global IK path
+        assert res.success is not None
+        st2 = compute_kinematics(kin.params, res.joint_state.position[0])
+        err = float(jnp.linalg.norm(st2.tool_pose.position[0] - goal.position[0, 0]))
+        assert err < 0.02
+        # second frame uses the warm-started local path (no success field)
+        res2 = rt.solve_frame(goal)
+        assert res2.success is None
+        # reset() returns to global IK
+        rt.reset()
+        res3 = rt.solve_frame(goal)
+        assert res3.success is not None
+
+    def test_mpc_mode_tracks(self, kin):
+        """MPC mode: steps_per_target control ticks per frame (reference
+        `_solve_mpc_frame:282`)."""
+        from curobo_tpu.motion.retargeter import RetargetConfig
+
+        rt = MotionRetargeter(
+            kin.params,
+            RetargetConfig(mode="mpc", steps_per_target=3, global_seeds=8),
+        )
+        q0 = kin.params.retract_config
+        st = compute_kinematics(kin.params, q0)
+        goal = Pose(
+            st.tool_pose.position[None] + jnp.asarray([0.0, 0.0, 0.03]),
+            st.tool_pose.quaternion[None],
+        )
+        res0 = rt.solve_frame(goal, q_prev=q0[None])  # warm state -> MPC path
+        assert res0.trajectory is not None
+        assert res0.trajectory.position.shape == (1, 3, kin.params.n_dof)
+        # a few more frames move the tool toward the target
+        for _ in range(4):
+            res = rt.solve_frame(goal)
+        st2 = compute_kinematics(kin.params, res.joint_state.position[0])
+        err0 = float(jnp.linalg.norm(st.tool_pose.position[0] + jnp.asarray([0.0, 0.0, 0.03]) - st.tool_pose.position[0]))
+        err = float(jnp.linalg.norm(st2.tool_pose.position[0] - goal.position[0, 0]))
+        assert err < err0  # strictly closer than the start
+
+    def test_bad_mode_rejected(self, kin):
+        from curobo_tpu.motion.retargeter import RetargetConfig
+
+        with pytest.raises(ValueError):
+            RetargetConfig(mode="teleport")
+
 
 class TestSphereFit:
     def test_fit_cube(self):
