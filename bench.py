@@ -484,6 +484,10 @@ def bench_motion(limit):
         plan_time_mean_ms=round(m["plan_time_mean_ms"], 2),
         plan_time_p98_ms=round(m["plan_time_p98_ms"], 2),
         position_error_mm_mean=round(m["position_error_mm_mean"], 4),
+        # quality vs BASELINE means: 3.126 rad / 1.25 s / jerk 227.4
+        path_length_mean=round(m.get("path_length_mean", -1.0), 4),
+        motion_time_mean_s=round(m.get("motion_time_mean_s", -1.0), 4),
+        max_jerk_mean=round(m.get("max_jerk_mean", -1.0), 2),
         vs_baseline=round(BASELINE_MOTION_P98_MS / m["plan_time_p98_ms"], 3),
     )
 

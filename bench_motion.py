@@ -131,10 +131,21 @@ def main():
         )
         if ok
         else -1.0,
+        # quality metrics vs BASELINE.md means: path length 3.126 rad,
+        # motion time 1.250 s, jerk 227.4 (`benchmarks.rst:21-29`)
         motion_time_mean_s=float(np.mean([r["motion_time"] for r in ok]))
         if ok
         else -1.0,
+        motion_time_p98_s=float(np.percentile([r["motion_time"] for r in ok], 98))
+        if ok
+        else -1.0,
         path_length_mean=float(np.mean([r["path_length"] for r in ok]))
+        if ok
+        else -1.0,
+        max_jerk_mean=float(np.mean([r["max_jerk"] for r in ok]))
+        if ok
+        else -1.0,
+        max_jerk_p98=float(np.percentile([r["max_jerk"] for r in ok], 98))
         if ok
         else -1.0,
         per_scenario={

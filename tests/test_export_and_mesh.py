@@ -54,7 +54,23 @@ class TestUsdExport:
         assert 'def Cube "table"' in text
         assert 'def Sphere "ball"' in text
         assert "timeSamples" in text
-        assert 'robot_sphere_0' in text
+        # per-link animated stage: link Xforms with orient+translate
+        # samples and sphere children in the link frame
+        assert 'def Xform "robot_' in text
+        assert "xformOp:orient.timeSamples" in text
+        assert 'def Sphere "sphere_' in text
+        assert "primvars:displayColor" in text
+
+    def test_export_plan_flat_spheres(self, tmp_path):
+        kin = Kinematics.from_robot_yaml(os.path.join(CONTENT, "franka.yml"))
+        scene = gt.Scene()
+        H = 3
+        traj = JointState.from_position(
+            jnp.broadcast_to(kin.params.retract_config, (H, 7)), kin.params.joint_names
+        )
+        p = str(tmp_path / "flat.usda")
+        export_plan_usd(p, scene, kin.params, traj, flat_spheres=True)
+        assert "robot_sphere_0" in open(p).read()
 
     def test_mesh_prim(self, tmp_path):
         w = UsdWriter()
@@ -62,3 +78,33 @@ class TestUsdExport:
         p = str(tmp_path / "m.usda")
         w.save(p)
         assert 'def Mesh "m"' in open(p).read()
+
+    def test_all_obstacle_prims(self, tmp_path):
+        tri = gt.MeshObstacle(
+            name="tri", pose=[0, 0, 1, 1, 0, 0, 0],
+            vertices=np.asarray([[0.0, 0, 0], [0.1, 0, 0], [0, 0.1, 0]]),
+            faces=np.asarray([[0, 1, 2]]),
+        )
+        vox = gt.VoxelGridObstacle(
+            name="vox", pose=[1, 0, 0, 1, 0, 0, 0], dims=(0.2, 0.2, 0.2),
+            voxel_size=0.1, data=np.asarray([[[-0.01, 1.0], [1.0, 1.0]],
+                                             [[1.0, 1.0], [1.0, 1.0]]]),
+        )
+        scene = gt.Scene().add(
+            gt.Capsule(name="cap", pose=[0, 1, 0, 1, 0, 0, 0], radius=0.05,
+                       base=(0, 0, 0), tip=(0, 0.3, 0)),
+            gt.Cylinder(name="cyl", pose=[0, -1, 0, 1, 0, 0, 0], radius=0.05, height=0.3),
+            gt.PointCloudObstacle(
+                name="pc", pose=[0, 0, 2, 1, 0, 0, 0],
+                points=np.asarray([[0.0, 0, 0], [0.05, 0, 0]]),
+            ),
+            tri, vox,
+        )
+        w = UsdWriter()
+        w.add_scene(scene)
+        p = str(tmp_path / "obs.usda")
+        w.save(p)
+        text = open(p).read()
+        for prim in ('def Capsule "cap"', 'def Cylinder "cyl"',
+                     'def Points "pc"', 'def Mesh "tri"', 'def Points "vox"'):
+            assert prim in text, prim
