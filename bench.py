@@ -27,14 +27,12 @@ BASELINE_DUAL_UR10E_CFIK_MS = 15.64  # docs/reference/benchmarks.rst:69 (99.2 %)
 BASELINE_MOTION_P98_MS = 81.0  # docs/reference/benchmarks.rst:15
 
 
-def bench_franka_cfik():
-    import jax
+def _franka_cfik_setup():
     import jax.numpy as jnp
 
     from curobo_tpu.geom import types as gt
     from curobo_tpu.geom import world as wm
     from curobo_tpu.robot.kinematics import Kinematics, compute_kinematics
-    from curobo_tpu.solver.ik import IKConfig, IKSolver
     from curobo_tpu.types.pose import Pose
 
     kin = Kinematics.from_robot_yaml("curobo_tpu/content/robots/franka.yml")
@@ -54,22 +52,50 @@ def bench_franka_cfik():
     assert bool(jnp.all(ok)), "goal sampling failed to find enough configs"
     st = compute_kinematics(kin.params, q_goal)
     goals = Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
+    return kin, world, goals
 
+
+def _franka_ik_config(warmup=8, mppi_iters=4, lbfgs_iters=24):
     from curobo_tpu.opt.lbfgs import LBFGSConfig, LineSearchConfig
     from curobo_tpu.opt.mppi import MPPIConfig
+    from curobo_tpu.solver.ik import IKConfig
 
-    solver = IKSolver(
-        kin.params,
-        IKConfig(
-            n_seeds=32,
-            warmup_iters=8,
-            mppi=MPPIConfig(n_particles=16, n_iters=4, init_std=0.6),
-            lbfgs=LBFGSConfig(
-                history=10, n_iters=24,
-                line_search=LineSearchConfig(scales=(0.05, 0.2, 0.5, 0.8, 1.0, 1.4)),
-            ),
+    return IKConfig(
+        n_seeds=32,
+        warmup_iters=warmup,
+        use_particle_stage=mppi_iters > 0,
+        mppi=MPPIConfig(n_particles=16, n_iters=max(mppi_iters, 1), init_std=0.6),
+        lbfgs=LBFGSConfig(
+            history=10, n_iters=lbfgs_iters,
+            line_search=LineSearchConfig(scales=(0.05, 0.2, 0.5, 0.8, 1.0, 1.4)),
         ),
     )
+
+
+def _pipelined_ms(solve, world, goal, seeds, keys, K=10, reps=8):
+    import jax
+
+    res = solve(world, goal, seeds, keys[0])
+    res.solution.block_until_ready()
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(K):
+            res = solve(world, goal, seeds, keys[i % len(keys)])
+        res.solution.block_until_ready()
+        best.append((time.perf_counter() - t0) / K)
+    return float(np.min(best) * 1000.0), res
+
+
+def bench_franka_cfik():
+    import jax
+    import jax.numpy as jnp
+
+    from curobo_tpu.solver.ik import IKSolver
+
+    kin, world, goals = _franka_cfik_setup()
+    B = goals.position.shape[0]
+    solver = IKSolver(kin.params, _franka_ik_config())
 
     # compile + warmup
     res = solver.solve_pose(world, goals)
@@ -86,27 +112,24 @@ def bench_franka_cfik():
 
     goal = Goal.from_pose(goals)
     seeds = solver.generate_seeds(B)
-    keys = [jax.random.PRNGKey(i) for i in range(10)]
+    # K=32 dispatches per block: amortizes the tunnel RTT floor to
+    # RTT/K < 1 ms so the number reflects device time
+    keys = [jax.random.PRNGKey(i) for i in range(32)]
     jax.block_until_ready((goal, seeds, keys))
     if solver.cfg.use_pallas and jax.default_backend() == "tpu":
         solve = solver._get_pallas_solver(world)
     else:
         solve = solver._solve_jit
-    res = solve(world, goal, seeds, keys[0])
-    res.solution.block_until_ready()
-
-    K, pipelined = 10, []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        for i in range(K):
-            res = solve(world, goal, seeds, keys[i])
-        res.solution.block_until_ready()
-        pipelined.append((time.perf_counter() - t0) / K)
+    t_ms, res = _pipelined_ms(solve, world, goal, seeds, keys, K=32, reps=6)
+    pipelined = [t_ms / 1000.0]
+    for _ in range(2):
+        m, res = _pipelined_ms(solve, world, goal, seeds, keys, K=32, reps=3)
+        pipelined.append(m / 1000.0)
 
     single = []
     for i in range(25):
         t0 = time.perf_counter()
-        res = solve(world, goal, seeds, keys[i % K])
+        res = solve(world, goal, seeds, keys[i % len(keys)])
         res.solution.block_until_ready()
         single.append(time.perf_counter() - t0)
 
@@ -126,6 +149,55 @@ def bench_franka_cfik():
         single_call_ms=round(float(np.min(single) * 1000.0), 3),
         rtt_floor_ms=round(float(np.min(rtt) * 1000.0), 3),
         success=success,
+    )
+
+
+def bench_franka_cfik_breakdown():
+    """Per-stage kernel-time attribution for the Franka CF-IK mega-kernel:
+    time iteration-count variants of the SAME kernel and take finite
+    differences — lbfgs_ms_per_iter from (24 vs 12 iters), mppi from
+    (4 vs 2), warmup from (8 vs 0); the residual is the fixed cost
+    (metrics tail + pack/unpack + dispatch). Shows where the remaining
+    gap to the 2.73 ms reference goes."""
+    import jax
+
+    from curobo_tpu.rollout.robot_rollout import Goal
+    from curobo_tpu.solver.ik import IKSolver
+
+    kin, world, goals = _franka_cfik_setup()
+    B = goals.position.shape[0]
+    goal = Goal.from_pose(goals)
+    keys = [jax.random.PRNGKey(i) for i in range(16)]
+
+    def timed(warmup, mppi_iters, lbfgs_iters):
+        solver = IKSolver(
+            kin.params, _franka_ik_config(warmup, mppi_iters, lbfgs_iters)
+        )
+        seeds = solver.generate_seeds(B)
+        if solver.cfg.use_pallas and jax.default_backend() == "tpu":
+            solve = solver._get_pallas_solver(world)
+        else:
+            solve = solver._solve_jit
+        ms, _ = _pipelined_ms(solve, world, goal, seeds, keys, K=16, reps=5)
+        return ms
+
+    full = timed(8, 4, 24)
+    half_lbfgs = timed(8, 4, 12)
+    half_mppi = timed(8, 2, 24)
+    no_warmup = timed(0, 4, 24)
+    lb_i = max((full - half_lbfgs) / 12.0, 0.0)
+    mp_i = max((full - half_mppi) / 2.0, 0.0)
+    wu_i = max((full - no_warmup) / 8.0, 0.0)
+    fixed = full - 24 * lb_i - 4 * mp_i - 8 * wu_i
+    return dict(
+        full_ms=round(full, 3),
+        lbfgs_ms_per_iter=round(lb_i, 4),
+        mppi_ms_per_iter=round(mp_i, 4),
+        warmup_ms_per_iter=round(wu_i, 4),
+        lbfgs_total_ms=round(24 * lb_i, 3),
+        mppi_total_ms=round(4 * mp_i, 3),
+        warmup_total_ms=round(8 * wu_i, 3),
+        fixed_ms=round(fixed, 3),
     )
 
 
@@ -516,6 +588,11 @@ def _with_timeout(fn, seconds):
 
 
 def main():
+    # persistent compile cache: the solver kernels cost minutes of remote
+    # Mosaic/XLA compile each; cache them across bench processes
+    from curobo_tpu import runtime as rt
+
+    rt.enable_compilation_cache()
     try:
         r = bench_franka_cfik()
     except RuntimeError as e:
@@ -541,6 +618,13 @@ def main():
         "tunnel_rtt_floor_ms": r["rtt_floor_ms"],
         "success_rate": round(r["success"], 4),
     }
+    if not os.environ.get("BENCH_SKIP_BREAKDOWN"):
+        try:
+            out["franka_cfik_breakdown"] = _with_timeout(
+                bench_franka_cfik_breakdown, 1200
+            )
+        except Exception as e:
+            out["franka_cfik_breakdown"] = {"error": str(e)[:200]}
     if not os.environ.get("BENCH_SKIP_DUAL"):
         try:
             out["dual_ur10e_cfik"] = _with_timeout(bench_dual_ur10e_cfik, 600)

@@ -44,6 +44,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from curobo_tpu import runtime as rt
+
+    rt.enable_compilation_cache()
+
     from curobo_tpu.motion.planner import MotionPlanConfig, MotionPlanner
     from curobo_tpu.robot.kinematics import Kinematics
     from curobo_tpu.types.pose import Pose

@@ -46,6 +46,11 @@ class IKConfig:
     # for success rate at low iteration counts.
     use_lm_seed: bool = False
     lm_seed_iters: int = 10
+    # LM trust-region step cap (rad/m per iteration). Floating-base robots
+    # need > the 0.5 default: the base must translate meters to the goal,
+    # and pose error is linear in it (G1 protocol: 1.5 converges all
+    # sampled goals to <= 3.5 mm in 60 iters; 0.5 starves).
+    lm_step_clip: float = 0.5
     # LM seed POOL (reference `seed_solver_num_seeds`, 128 for G1): refine
     # this many seeds with LM and keep the best `n_seeds` by LM residual
     # for the optimizer stages. 0 = refine exactly n_seeds in place.
@@ -105,7 +110,10 @@ class IKSolver:
         if cfg.use_lm_seed:
             from curobo_tpu.opt.lm import LMConfig, SeedIK
 
-            self._seed_ik = SeedIK(params, LMConfig(n_iters=cfg.lm_seed_iters))
+            self._seed_ik = SeedIK(
+                params,
+                LMConfig(n_iters=cfg.lm_seed_iters, step_clip=cfg.lm_step_clip),
+            )
         self._solve_jit = jax.jit(self._solve_impl)
         # pallas path: capacity-envelope-keyed kernel cache (`solver/_cache.py`)
         from curobo_tpu.solver._cache import WorldKeyedCache

@@ -199,6 +199,68 @@ class TestG1IK:
         )
         assert float(jnp.max(res.position_error)) < cfg.position_threshold
 
+    def test_hard_protocol_success_rate(self, g1):
+        """The BENCHMARK protocol, CPU-sized (reference
+        `benchmark/ik_benchmark.py:50-120` / bench.py bench_g1_cfik):
+        FREE floating base, goals = FK of configs sampled uniform over the
+        FULL joint limits (base box reduced to +-2 m for CPU runtime), 5 mm
+        position threshold, LM seed pool. Round 3 shipped 0 % on this
+        protocol (locked base + starved LM); assert >= 80 % here so the
+        regression class is pinned by the suite."""
+        import dataclasses
+
+        from curobo_tpu.geom import types as gt
+        from curobo_tpu.solver.ik import IKConfig, IKSolver
+
+        p = g1.params
+        cfg = IKConfig.from_yaml(
+            os.path.join(CONTENT, "..", "tasks", "ik_g1.yml")
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            n_seeds=4,
+            lm_seed_pool=16,  # CPU-sized (bench runs the full 128 pool)
+            use_blast=False,  # blast-G1 explodes CPU XLA compile (CLAUDE.md)
+            use_particle_stage=False,
+            lbfgs=dataclasses.replace(cfg.lbfgs, n_iters=30),
+            position_threshold=0.005,
+            rollout=dataclasses.replace(cfg.rollout, support_polygon=None),
+        )
+        world = wm.compile_scene(
+            gt.Scene().add(
+                gt.Cuboid(name="table", pose=[0, 0, -0.2, 1, 0, 0, 0],
+                          dims=[4.0, 4.0, 0.2])
+            )
+        )
+        rng = np.random.RandomState(7)
+        B = 10
+        lo = np.asarray(p.joint_limits.lower).copy()
+        hi = np.asarray(p.joint_limits.upper).copy()
+        lo[:3] = [-2.0, -2.0, 0.0]
+        hi[:3] = [2.0, 2.0, 1.5]
+        # collision-free goal configs (rejection sampling — the reference
+        # `sample_configs` protocol; unvalidated full-range G1 configs
+        # almost always self-collide, making 'feasible' unreachable)
+        from curobo_tpu.collision.robot_scene import RobotSceneCollision
+
+        rsc = RobotSceneCollision(p)
+        pool, got = [], 0
+        while got < B:
+            cand = rng.uniform(lo, hi, (8 * B, p.n_dof)).astype(np.float32)
+            ok = np.asarray(rsc.validate(world, jnp.asarray(cand)))
+            pool.append(cand[ok])
+            got += int(ok.sum())
+        q_goal = jnp.asarray(np.concatenate(pool)[:B])
+        st = compute_kinematics(p, q_goal)
+        goals = Pose(st.tool_pose.position, st.tool_pose.quaternion)  # (B, 4)
+        solver = IKSolver(p, cfg)
+        res = solver.solve_pose(world, goals, seed_state=p.retract_config)
+        n_ok = int(jnp.sum(res.success))
+        assert n_ok >= int(0.8 * B), (
+            f"G1 hard-protocol success {n_ok}/{B}; "
+            f"pos_err={np.round(np.asarray(res.position_error), 4)}"
+        )
+
     def test_blast_matches_generic_with_support_polygon(self, g1):
         """The B-last whole-body objective (multi-tool pose + chunked
         self-collision + CoM support-polygon balance) must agree with the
