@@ -180,9 +180,20 @@ class WorldData:
 # Scene -> WorldData compilation
 # ---------------------------------------------------------------------------
 def _pose_Rp(pose) -> Tuple[np.ndarray, np.ndarray]:
+    # pure host math: an eager jax op here dispatches to the (possibly
+    # remote) device per OBSTACLE — measured 380 s per compile_scene
+    # through the axon tunnel
     pose = np.asarray(pose, dtype=np.float32)
-    q = pose[3:7] / max(np.linalg.norm(pose[3:7]), 1e-9)
-    return np.asarray(qm.quat_to_matrix(jnp.asarray(q))), pose[:3]
+    w, x, y, z = pose[3:7] / max(np.linalg.norm(pose[3:7]), 1e-9)
+    R = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+    return R, pose[:3]
 
 
 def _pad(n: int, cap: Optional[int]) -> int:
