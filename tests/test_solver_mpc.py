@@ -59,6 +59,33 @@ class TestMPC:
         assert errs[-1] < 0.05, f"final pose err {errs[-1]}"
         assert errs[-1] < errs[0] * 0.5
 
+    def test_brake_fallback_on_infeasible(self, kin, world):
+        """An unreachable goal inside an obstacle forces infeasible plans;
+        the safe-deceleration fallback must produce commands that damp the
+        measured velocity (reference solver_mpc.py:700-760)."""
+        solver = MPCSolver(kin.params)
+        q0 = jnp.broadcast_to(kin.params.retract_config, (1, 7))
+        # goal INSIDE the table -> collision-infeasible target
+        goal = solver.make_goal(
+            Pose(jnp.asarray([[0.4, 0.0, -0.1]]), jnp.asarray([[1.0, 0, 0, 0]]))
+        )
+        state = solver.setup(q0)
+        qd = jnp.full((1, 7), 0.8)
+        js = JointState(
+            position=q0, velocity=qd, joint_names=kin.params.joint_names
+        )
+        res, state = solver.step(world, goal, state, js)
+        if not bool(res.feasible[0]):
+            # braked command keeps direction but shrinks magnitude
+            v_cmd = np.asarray(res.command.velocity[0])
+            assert np.all(np.abs(v_cmd) <= 0.8 * solver.cfg.brake_decay + 1e-5)
+        # whatever the branch, the command must be finite and in-limits
+        assert np.isfinite(np.asarray(res.command.position)).all()
+        assert np.all(
+            np.abs(np.asarray(res.command.velocity))
+            <= np.asarray(kin.params.joint_limits.velocity) * 1.05
+        )
+
     def test_commands_within_limits(self, kin, world):
         B = 1
         solver = MPCSolver(kin.params)

@@ -115,3 +115,75 @@ class TestTrajOpt:
         # 2 rad at ~2.17 rad/s limit with margin: motion time in [1, 5] s
         T = float(dt[0]) * (solver.cfg.bspline.horizon - 1)
         assert 0.5 < T < 6.0
+
+    def test_retime_dt_scales_with_limit_violation(self, kin, solver):
+        """_retime_dt must GROW dt exactly enough that a limit-violating
+        trajectory fits (reference per-seed re-time, solver_trajopt.py:437)."""
+        from curobo_tpu.types.state import JointState
+
+        def traj_of(q, dt):
+            v = jnp.gradient(q, axis=-2) / dt[:, None, None]
+            a = jnp.gradient(v, axis=-2) / dt[:, None, None]
+            j = jnp.gradient(a, axis=-2) / dt[:, None, None]
+            return JointState(
+                position=q, velocity=v, acceleration=a, jerk=j, dt=dt,
+                joint_names=kin.params.joint_names,
+            )
+
+        H = 16
+        t = jnp.linspace(0.0, 1.0, H)
+        q = 0.3 * jnp.sin(2 * np.pi * t)[None, :, None] * jnp.ones((1, H, 7))
+        dt0 = jnp.asarray([0.02])
+        dt_fast = solver._retime_dt(traj_of(q, dt0), dt0)
+        assert float(dt_fast[0]) > float(dt0[0])  # fast sine violates limits
+        # re-rolled at the retimed dt, velocity fits the limits
+        re = traj_of(q, dt_fast)
+        assert float(
+            jnp.max(jnp.abs(re.velocity) / kin.params.joint_limits.velocity)
+        ) <= 1.05
+        # retiming targets an ABSOLUTE feasible dt: starting 4x slower
+        # converges to (at most) the same retimed dt
+        dt_slow4 = solver._retime_dt(traj_of(q, dt0 * 4), dt0 * 4)
+        assert float(dt_slow4[0]) <= float(dt_fast[0]) * 1.1
+
+    def test_finetune_rounds_keep_best(self, kin, table_world):
+        """More finetune rounds must not DEGRADE the per-problem best
+        (keep-best merge, reference solver_trajopt.py:437-460): motion
+        time with 2 rounds <= motion time with 0 rounds for successes."""
+        from curobo_tpu.opt.lbfgs import LBFGSConfig
+        from curobo_tpu.solver.trajopt import TrajOptConfig, TrajOptSolver
+
+        B = 2
+        q_goal = goal_configs(kin, B, seed=5)
+        q_start = jnp.broadcast_to(kin.params.retract_config, (B, 7))
+        lb = LBFGSConfig(history=10, n_iters=40, max_step=0.5)
+        r0 = TrajOptSolver(
+            kin.params, TrajOptConfig(lbfgs=lb, finetune_attempts=0)
+        ).solve_cspace(table_world, q_goal, q_start)
+        r2 = TrajOptSolver(
+            kin.params, TrajOptConfig(lbfgs=lb, finetune_attempts=2)
+        ).solve_cspace(table_world, q_goal, q_start)
+        ok = np.asarray(r0.success) & np.asarray(r2.success)
+        if ok.any():
+            assert np.all(
+                np.asarray(r2.motion_time)[ok]
+                <= np.asarray(r0.motion_time)[ok] * 1.01
+            )
+        # finetune must not hurt terminal accuracy beyond threshold
+        assert float(jnp.max(r2.position_error)) <= max(
+            float(jnp.max(r0.position_error)), 0.006
+        )
+
+    def test_trajectory_respects_velocity_limits(self, kin, table_world, solver):
+        B = 3
+        q_goal = goal_configs(kin, B, seed=6)
+        q_start = jnp.broadcast_to(kin.params.retract_config, (B, 7))
+        res = solver.solve_cspace(table_world, q_goal, q_start)
+        ok = np.asarray(res.success)
+        if ok.any():
+            v = np.abs(np.asarray(res.trajectory.velocity))[ok]
+            a = np.abs(np.asarray(res.trajectory.acceleration))[ok]
+            assert np.all(v <= np.asarray(kin.params.joint_limits.velocity) * 1.05)
+            assert np.all(
+                a <= np.asarray(kin.params.joint_limits.acceleration) * 1.2
+            )
