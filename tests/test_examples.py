@@ -17,6 +17,7 @@ EXAMPLES = [
     "forward_kinematics.py",
     "humanoid_retargeting.py",
     "volumetric_mapping.py",
+    "block_sparse_mapping.py",
     "attached_object.py",
     "multi_env_batch.py",
     "whole_body_balance_ik.py",
