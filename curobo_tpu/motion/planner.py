@@ -58,6 +58,29 @@ class MotionPlanner:
         self.ik = IKSolver(params, cfg.ik)
         self.trajopt = TrajOptSolver(params, cfg.trajopt)
         self._prm = None  # built lazily on first graph-seeded attempt
+        # glue jits: each eager op between the solver jits is a separate
+        # device dispatch — through a remote tunnel that dominates warm
+        # B=1 plan latency
+        import functools
+
+        self._select_seeds_jit = jax.jit(
+            self._select_seeds, static_argnums=(1,)
+        )
+        self._merge_best_jit = jax.jit(self._merge_best)
+
+    @staticmethod
+    def _merge_best(res: TrajOptResult, best: TrajOptResult) -> TrajOptResult:
+        B = res.success.shape[0]
+        better = res.success & (~best.success | (res.motion_time < best.motion_time))
+
+        def pick(a, b):
+            if isinstance(a, jnp.ndarray) and a.ndim >= 1 and a.shape[0] == B:
+                return jnp.where(
+                    better.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                )
+            return b
+
+        return jax.tree.map(pick, res, best)
 
     def _graph_seed_paths(self, world, q_start, seeds):
         """PRM paths from start to each seed config -> (B, S, P, D) waypoints.
@@ -113,30 +136,14 @@ class MotionPlanner:
                 seed_state=q_start if attempt == 0 else None,
             )
             ik_success = ik_success | ik_res.success
-            seeds = self._select_seeds(ik_res, cfg.n_trajopt_seeds)
+            seeds = self._select_seeds_jit(ik_res, cfg.n_trajopt_seeds)
             seed_paths = None
             if cfg.enable_graph_attempt >= 0 and attempt >= cfg.enable_graph_attempt:
                 seed_paths = self._graph_seed_paths(world, q_start, seeds)
             res = self.trajopt.solve_pose(
                 world, goal_pose, q_start, seeds, key=k_to, seed_paths=seed_paths
             )
-            if best is None:
-                best = res
-            else:
-                better = res.success & (
-                    ~best.success | (res.motion_time < best.motion_time)
-                )
-                best = jax.tree.map(
-                    lambda a, b: (
-                        jnp.where(
-                            better.reshape((B,) + (1,) * (a.ndim - 1)), a, b
-                        )
-                        if isinstance(a, jnp.ndarray) and a.ndim >= 1 and a.shape[0] == B
-                        else b
-                    ),
-                    res,
-                    best,
-                )
+            best = res if best is None else self._merge_best_jit(res, best)
             if bool(jnp.all(best.success)):
                 break
 
