@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--limit", type=int, default=0, help="run only N problems")
     ap.add_argument("--json-out", type=str, default="")
     ap.add_argument("--warmup", type=int, default=2)
+    # trajopt budget knobs (perf sweeps; defaults = MotionPlanConfig)
+    ap.add_argument("--lbfgs-iters", type=int, default=0)
+    ap.add_argument("--finetune-attempts", type=int, default=-1)
+    ap.add_argument("--trajopt-seeds", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -64,7 +68,21 @@ def main():
         os.path.join(os.path.dirname(__file__), "curobo_tpu", "content",
                      "robots", suite["robot"])
     )
-    planner = MotionPlanner(kin.params, MotionPlanConfig())
+    import dataclasses
+
+    pcfg = MotionPlanConfig()
+    tcfg = pcfg.trajopt
+    if args.lbfgs_iters:
+        tcfg = dataclasses.replace(
+            tcfg, lbfgs=dataclasses.replace(tcfg.lbfgs, n_iters=args.lbfgs_iters)
+        )
+    if args.finetune_attempts >= 0:
+        tcfg = dataclasses.replace(tcfg, finetune_attempts=args.finetune_attempts)
+    if tcfg is not pcfg.trajopt:
+        pcfg = dataclasses.replace(pcfg, trajopt=tcfg)
+    if args.trajopt_seeds:
+        pcfg = dataclasses.replace(pcfg, n_trajopt_seeds=args.trajopt_seeds)
+    planner = MotionPlanner(kin.params, pcfg)
 
     def run(prob, key):
         world = build_world(prob["world"], cap)
