@@ -55,10 +55,11 @@ def _franka_cfik_setup():
     return kin, world, goals
 
 
-def _franka_ik_config(warmup=16, mppi_iters=2, lbfgs_iters=18):
+def _franka_ik_config(warmup=16, mppi_iters=2, lbfgs_iters=20):
     # swept on TPU (PERF.md r4.5): pose-only warmup iterations are ~free,
-    # so trading MPPI 4->2 and L-BFGS 24->18 for warmup 8->16 keeps 100 %
-    # success at 6.0 ms (K=16) vs 7.4 ms for the round-3 budget
+    # so trading MPPI 4->2 and L-BFGS 24->20 for warmup 8->16 keeps 100 %
+    # success (18 iters dipped to 99 % at K=32 key diversity) at ~5 ms
+    # K=32-pipelined vs 7.4 ms for the round-3 budget
     from curobo_tpu.opt.lbfgs import LBFGSConfig, LineSearchConfig
     from curobo_tpu.opt.mppi import MPPIConfig
     from curobo_tpu.solver.ik import IKConfig
@@ -540,10 +541,16 @@ def bench_motion(limit):
     bench_motion.py."""
     import subprocess
 
+    # resolve relative to THIS source file on disk (robust to exec wrappers)
+    root = os.path.dirname(os.path.abspath(
+        globals().get("__file__") or "/root/repo/bench.py"
+    ))
+    if not os.path.exists(os.path.join(root, "bench_motion.py")):
+        root = "/root/repo"
     out = subprocess.run(
-        [sys.executable, "bench_motion.py", "--limit", str(limit)],
+        [sys.executable, os.path.join(root, "bench_motion.py"), "--limit", str(limit)],
         capture_output=True, text=True, timeout=3000,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
+        cwd=root,
     )
     lines = out.stdout.strip().splitlines()
     if not lines:  # crashed before printing: surface the actual error
