@@ -449,7 +449,7 @@ def bench_perception():
 
     from curobo_tpu.perception.block_sparse import (
         BlockSparseConfig,
-        integrate_camera_sparse,
+        integrate_cameras_sparse,
         make_sparse_grid,
     )
     from curobo_tpu.perception.mapper import (
@@ -495,14 +495,12 @@ def bench_perception():
     # ---- block-sparse (headline) ----
     scfg = BlockSparseConfig(
         pool_blocks=4096, table_size=16384, rgb_channels=True,
-        feature_channels=8,
+        feature_channels=8, discovery_stride=8, max_active_blocks=768,
     )
 
     @jax.jit
     def sparse_frame(grid, o1, o2):
-        return integrate_camera_sparse(
-            scfg, integrate_camera_sparse(scfg, grid, o1), o2
-        )
+        return integrate_cameras_sparse(scfg, grid, (o1, o2))
 
     sparse_ms, sgrid = time_frames(sparse_frame, make_sparse_grid(scfg))
     n_blocks = int(sgrid.n_alloc)

@@ -673,6 +673,16 @@ class Mapper:
         else:
             raise TypeError(f"unsupported observation type {type(obs)}")
 
+    def integrate_set(self, observations) -> None:
+        """Integrate a multi-camera rig frame. Sparse storage fuses all
+        cameras in ONE pool pass (`integrate_cameras_sparse`); dense
+        storage integrates sequentially."""
+        if self.storage == "sparse":
+            self._sparse.integrate_set(observations)
+            return
+        for o in observations:
+            self.integrate(o)
+
     def decay(self, factor: float = 0.95) -> None:
         if self.storage == "sparse":
             self._sparse.decay(factor)

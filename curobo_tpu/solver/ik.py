@@ -59,6 +59,11 @@ class IKConfig:
     # terms) in-kernel L-BFGS stage before MPPI/L-BFGS — same role at
     # ~10x lower per-eval cost, and no extra kernel dispatch.
     warmup_iters: int = 0
+    # in-kernel backtracking line-search budget (evals per L-BFGS iter);
+    # the candidate ladder is ls_base * ls_ratio**k, k < kernel_linesearch
+    kernel_linesearch: int = 6
+    kernel_ls_base: float = 1.5
+    kernel_ls_ratio: float = 0.45
     mppi: MPPIConfig = MPPIConfig(n_particles=32, n_iters=8, init_std=0.6)
     lbfgs: LBFGSConfig = LBFGSConfig(history=12, n_iters=40)
     rollout: RobotRolloutConfig = RobotRolloutConfig()
@@ -141,6 +146,9 @@ class IKSolver:
             history=lb.history,
             max_step=lb.max_step,
             warmup_iters=self.cfg.warmup_iters,
+            n_linesearch=self.cfg.kernel_linesearch,
+            ls_base=self.cfg.kernel_ls_base,
+            ls_ratio=self.cfg.kernel_ls_ratio,
         )
         return jax.jit(
             functools.partial(self._solve_impl_pallas, solve_kernel=solve_kernel)

@@ -245,6 +245,53 @@ class TestDenseSparseExact:
         with pytest.raises(AttributeError):
             sparse.grid = None
 
+    def test_fused_rig_matches_dense(self, pair):
+        """integrate_set (one pool pass for the whole camera rig) must
+        reproduce the dense path exactly on every voxel the sparse map
+        observed — including cross-camera fusion on shared blocks."""
+        dense, _ = pair
+        # rebuild the same two observations the fixture used
+        rng = np.random.RandomState(0)
+        H, W = 96, 128
+        f = W / (2.0 * np.tan(np.radians(60.0) / 2))
+        K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+        obs = []
+        for i in range(2):
+            depth = jnp.asarray(1.2 + 0.2 * rng.rand(H, W).astype(np.float32))
+            obs.append(
+                CameraObservation(
+                    depth=depth,
+                    intrinsics=K,
+                    pose=Pose(
+                        jnp.asarray([0.05 * i, 0.0, -0.5]),
+                        jnp.asarray([1.0, 0, 0, 0]),
+                    ),
+                    rgb=jnp.asarray(rng.rand(H, W, 3), jnp.float32),
+                    feature=jnp.asarray(rng.rand(H, W, 4), jnp.float32),
+                )
+            )
+        fused = Mapper(dense.cfg, storage="sparse")
+        fused.integrate_set(obs)
+        fg = fused.grid
+        m = np.asarray(fg.weight) > 0
+        assert m.sum() > 500
+        np.testing.assert_allclose(
+            np.asarray(fg.tsdf)[m], np.asarray(dense.grid.tsdf)[m], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fg.weight)[m], np.asarray(dense.grid.weight)[m],
+            atol=1e-5,
+        )
+        mb = m & (np.abs(np.asarray(fg.rgb)).sum(-1) > 0)
+        assert mb.sum() > 100
+        np.testing.assert_allclose(
+            np.asarray(fg.rgb)[mb], np.asarray(dense.grid.rgb)[mb], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fg.feature)[mb], np.asarray(dense.grid.feature)[mb],
+            atol=1e-4,
+        )
+
 
 class TestFacade:
     def test_decay_clears(self):
