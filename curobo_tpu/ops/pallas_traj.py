@@ -88,6 +88,19 @@ class PallasTrajCost:
     cfg: RobotRolloutConfig
     world: world_mod.WorldData
     bspline: BSplineConfig
+    # pin the spline's far end to a per-problem goal config (q_end kernel
+    # input): the terminal state is EXACTLY the IK solution (and at rest —
+    # N_PIN repeated end knots zero the end velocity/acceleration), so
+    # terminal pose error is the IK solver's, not an optimizer equilibrium.
+    # Reference analog: finetune_trajopt's pose-boosted polish; this is
+    # stronger (exact) and removes 2*N_PIN*D free variables.
+    pin_goal: bool = False
+
+    @property
+    def n_free(self) -> int:
+        return (
+            self.bspline.n_free_cspace if self.pin_goal else self.bspline.n_free
+        )
 
     def __post_init__(self):
         p = self.params
@@ -374,7 +387,7 @@ class PallasTrajCost:
         lead = (hpos == 0).astype(x.dtype)
         return self._group_sum(m * lead, G)
 
-    def _lane_eval(self, tbl, G, goal, qs, dtv, x, refs, mode,
+    def _lane_eval(self, tbl, G, goal, qs, qe, dtv, x, refs, mode,
                    dpair=None, margin=None):
         """Whole-horizon evaluation in the lane-horizon layout (see
         `__post_init__`): every lane is one (problem-slot, step) pair, so
@@ -402,9 +415,12 @@ class PallasTrajCost:
         is_term = tbl[1].reshape(1, LANE) * jnp.ones((SUB, 1), jnp.float32)
 
         # control points: pinned start (N_PIN copies) + free knots
-        ctrl = jnp.concatenate(
-            [jnp.concatenate([qs] * N_PIN, axis=0), x], axis=0
-        )  # (n_ctrl*D, SUB, LANE)
+        # (+ pinned goal when pin_goal: terminal config exactly q_end,
+        # terminal velocity/acceleration exactly zero)
+        parts = [jnp.concatenate([qs] * N_PIN, axis=0), x]
+        if self.pin_goal:
+            parts.append(jnp.concatenate([qe] * N_PIN, axis=0))
+        ctrl = jnp.concatenate(parts, axis=0)  # (n_ctrl*D, SUB, LANE)
 
         def comb(base):
             """Basis-combine ctrl rows with per-lane table weights:
@@ -464,7 +480,8 @@ class PallasTrajCost:
                 )  # (D, SUB, LANE)
             grad_full = self._group_sum(jnp.concatenate(pre_rows, axis=0), G)
             # only the free-knot slice flows back (pinned rows are constants)
-            return cost, grad_full[N_PIN * D:]
+            n_free_rows = x.shape[0]
+            return cost, grad_full[N_PIN * D : N_PIN * D + n_free_rows]
 
         if mode == "cost":
             q_p, q_h, v_h, a_h, j_h = lane_states()
@@ -529,17 +546,18 @@ class PallasTrajCost:
             pl.BlockSpec((LANE, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 7, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_free_D, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ppad, S_n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ppad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
 
-    def _traj_pack(self, goal7, free, q_start, dtv):
+    def _traj_pack(self, goal7, free, q_start, q_end, dtv):
         """Pack problem rows into the lane-horizon layout: each problem
         slot's values REPLICATE across its h_pad lanes."""
         D = self.params.n_dof
-        n_free = self.bspline.n_free
+        n_free = self.n_free
         hp, slots, cap = self._h_pad, self._slots, self._cap
         NP = free.shape[0]
         nb = max((NP + cap - 1) // cap, 1)
@@ -558,8 +576,9 @@ class PallasTrajCost:
         gb = pad(goal7, 7, pad_row=[0, 0, 0, 1, 0, 0, 0])
         xb = pad(free, n_free * D)
         qb = pad(q_start, D)
+        eb = pad(q_start if q_end is None else q_end, D)
         db = pad(jnp.maximum(dtv, 1e-4)[:, None], 1, pad_row=[0.02])
-        return gb, xb, qb, db, nb, Npad
+        return gb, xb, qb, eb, db, nb, Npad
 
     def _unpack_rows(self, a, nb, Npad, NP):
         """(nb, SUB, LANE) or (nb, feat, SUB, LANE) h-replicated block
@@ -577,23 +596,25 @@ class PallasTrajCost:
         D = self.params.n_dof
         H = self.bspline.horizon
         n_ctrl = self.bspline.n_control
-        n_free = self.bspline.n_free
+        n_free = self.n_free
 
         def kernel(
-            tbl_ref, g_ref, goal_ref, qs_ref, dt_ref, x_ref,
+            tbl_ref, g_ref, goal_ref, qs_ref, qe_ref, dt_ref, x_ref,
             dpair_ref, margin_ref, wc, ws, wp, wy, cost_ref, grad_ref,
         ):
             cost, grad = self._lane_eval(
-                tbl_ref[...], g_ref[...], goal_ref[0], qs_ref[0],
+                tbl_ref[...], g_ref[...], goal_ref[0], qs_ref[0], qe_ref[0],
                 dt_ref[0][0], x_ref[0], (wc, ws, wp, wy),
                 "grad", dpair=dpair_ref[...], margin=margin_ref[...],
             )
             cost_ref[0] = cost
             grad_ref[0] = grad
 
-        def call(goal7, free, q_start, dtv, world=None):
+        def call(goal7, free, q_start, dtv, world=None, q_end=None):
             NP = free.shape[0]
-            gb, xb, qb, db, nb, Npad = self._traj_pack(goal7, free, q_start, dtv)
+            gb, xb, qb, eb, db, nb, Npad = self._traj_pack(
+                goal7, free, q_start, q_end, dtv
+            )
             cost, grad = pl.pallas_call(
                 kernel,
                 grid=(nb,),
@@ -610,7 +631,7 @@ class PallasTrajCost:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
-            )(self._lane_tbl, self._G, gb, qb, db, xb,
+            )(self._lane_tbl, self._G, gb, qb, eb, db, xb,
               self._ik._D_pair, self._ik._margin, *self._world_args(world))
             c = self._unpack_rows(cost, nb, Npad, NP)
             g = self._unpack_rows(grad, nb, Npad, NP)
@@ -623,8 +644,8 @@ class PallasTrajCost:
 
         return pack_world_arrays(self.world if world is None else world)
 
-    def __call__(self, goal7, free, q_start, dtv, world=None):
-        return self._call(goal7, free, q_start, dtv, world)
+    def __call__(self, goal7, free, q_start, dtv, world=None, q_end=None):
+        return self._call(goal7, free, q_start, dtv, world, q_end)
 
     # ==================================================================
     # Fused full trajectory solve: (MPPI ->) L-BFGS over free knots ->
@@ -659,7 +680,7 @@ class PallasTrajCost:
         applied as a static unrolled linear combination of knot rows."""
         p = self.params
         D = p.n_dof
-        n_free = self.bspline.n_free
+        n_free = self.n_free
         nfD = n_free * D
 
         eps_transform = None
@@ -692,7 +713,7 @@ class PallasTrajCost:
             )
 
         def kernel(
-            seed_ref, tbl_ref, g_ref, goal_ref, qs_ref, dt_ref, x_ref,
+            seed_ref, tbl_ref, g_ref, goal_ref, qs_ref, qe_ref, dt_ref, x_ref,
             dpair_ref, margin_ref, wc, ws, wp, wy,
             out_x, out_c, out_pe, out_re, out_fe, out_dt,
         ):
@@ -701,6 +722,7 @@ class PallasTrajCost:
             G = g_ref[...]
             goal = goal_ref[0]
             qs = qs_ref[0]
+            qe = qe_ref[0]
             dtv = dt_ref[0][0]
             refs = (wc, ws, wp, wy)
             dpair = dpair_ref[...]
@@ -708,13 +730,13 @@ class PallasTrajCost:
 
             def cost_fn(xx):
                 return self._lane_eval(
-                    tbl, G, goal, qs, dtv, xx, refs, "cost",
+                    tbl, G, goal, qs, qe, dtv, xx, refs, "cost",
                     dpair=dpair, margin=margin,
                 )
 
             def cost_grad(xx):
                 return self._lane_eval(
-                    tbl, G, goal, qs, dtv, xx, refs, "grad",
+                    tbl, G, goal, qs, qe, dtv, xx, refs, "grad",
                     dpair=dpair, margin=margin,
                 )
 
@@ -743,7 +765,7 @@ class PallasTrajCost:
                 n_linesearch, ls_base, ls_ratio, cost_grad=cost_grad,
             )
             cost, pe, re, fe, dt_ret = self._lane_eval(
-                tbl, G, goal, qs, dtv, best_x, refs, "metrics",
+                tbl, G, goal, qs, qe, dtv, best_x, refs, "metrics",
                 dpair=dpair, margin=margin,
             )
             out_x[0] = best_x
@@ -753,9 +775,11 @@ class PallasTrajCost:
             out_fe[0] = fe
             out_dt[0] = dt_ret
 
-        def solve(goal7, free, q_start, dtv, seed, world=None):
+        def solve(goal7, free, q_start, dtv, seed, world=None, q_end=None):
             NP = free.shape[0]
-            gb, xb, qb, db, nb, Npad = self._traj_pack(goal7, free, q_start, dtv)
+            gb, xb, qb, eb, db, nb, Npad = self._traj_pack(
+                goal7, free, q_start, q_end, dtv
+            )
             seed_arr = jnp.asarray([seed], dtype=jnp.int32)
             c_spec = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
             x_spec = pl.BlockSpec((1, nfD, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -772,7 +796,7 @@ class PallasTrajCost:
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024
                 ),
-            )(seed_arr, self._lane_tbl, self._G, gb, qb, db, xb,
+            )(seed_arr, self._lane_tbl, self._G, gb, qb, eb, db, xb,
               self._ik._D_pair, self._ik._margin, *self._world_args(world))
             xb_, cb, peb, reb, feb, dtb = out
             x = self._unpack_rows(xb_, nb, Npad, NP)

@@ -58,6 +58,12 @@ class TrajOptConfig:
     )
     position_threshold: float = 0.005
     rotation_threshold: float = 0.05
+    # pin the spline's far end to the seed config (the IK solution): the
+    # terminal state is EXACTLY the collision-free IK result, at rest
+    # (N_PIN repeated end knots) — terminal pose error becomes the IK
+    # solver's (~0.1 mm), not an optimizer equilibrium (~5 mm). Reference
+    # analog: the pose-boosted finetune polish (`finetune_trajopt.yml`).
+    pin_goal: bool = True
     # initial trajectory duration heuristic: max joint distance scaled
     min_dt: float = 0.005
     max_dt: float = 0.15
@@ -90,6 +96,8 @@ class TrajOptResult:
     rotation_error: jnp.ndarray  # (B,)
     cost: jnp.ndarray  # (B,)
     free_knots: jnp.ndarray  # (B, n_free, D) best spline knots (for resample)
+    # pinned terminal config (B, D) when cfg.pin_goal, else None
+    q_end: Optional[jnp.ndarray] = None
 
 
 @jax.tree_util.register_dataclass
@@ -172,7 +180,10 @@ class TrajOptSolver:
             history=lb.history,
             max_step=lb.max_step,
         )
-        ptc = PallasTrajCost(self.params, cfg.rollout, world, cfg.bspline)
+        ptc = PallasTrajCost(
+            self.params, cfg.rollout, world, cfg.bspline,
+            pin_goal=cfg.pin_goal,
+        )
         solve_kernel = ptc.build_solver(**kernel_opts)
         solve_fn = functools.partial(
             self._solve_seeds_pallas, solve_kernel=solve_kernel
@@ -182,7 +193,8 @@ class TrajOptSolver:
             # second compiled objective with boosted pose weights for the
             # last round (no MPPI — it's a precision polish of warm starts)
             ptc_ft = PallasTrajCost(
-                self.params, self._ft_rollout_cfg, world, cfg.bspline
+                self.params, self._ft_rollout_cfg, world, cfg.bspline,
+                pin_goal=cfg.pin_goal,
             )
             ft_kernel = ptc_ft.build_solver(
                 **{**kernel_opts, "mppi_iters": 0}
@@ -221,6 +233,7 @@ class TrajOptSolver:
         free0: jnp.ndarray,
         dt: jnp.ndarray,
         key: jax.Array,
+        q_end: Optional[jnp.ndarray] = None,  # (B, S, D) pinned terminal
         solve_kernel=None,
     ) -> _SeedSolveOut:
         cfg = self.cfg
@@ -234,6 +247,7 @@ class TrajOptSolver:
         x, c, pe, re, fe, dt_ret = solve_kernel(
             goal7, free0.reshape(B * S, n_free * D), qs, dt.reshape(B * S),
             seed_scalar, world,
+            q_end=None if q_end is None else q_end.reshape(B * S, D),
         )
         shape2 = (B, S)
         pe = pe.reshape(shape2)
@@ -301,6 +315,7 @@ class TrajOptSolver:
         free0: jnp.ndarray,  # (B, S, n_free, D) initial knots
         dt: jnp.ndarray,  # (B, S)
         key: jax.Array,
+        q_end: Optional[jnp.ndarray] = None,  # (B, S, D) pinned terminal
         finetune: bool = False,
     ) -> _SeedSolveOut:
         cfg = self.cfg
@@ -312,7 +327,7 @@ class TrajOptSolver:
         def traj_of(x):
             # x: (..., B, S, n_free * D) with optional leading axes
             knots = x.reshape(x.shape[:-1] + (n_free, D))
-            return self.transition.rollout(knots, qs, dt)
+            return self.transition.rollout(knots, qs, dt, q_goal=q_end)
 
         def cost(x):
             traj = traj_of(x)
@@ -391,12 +406,15 @@ class TrajOptSolver:
             key = jax.random.PRNGKey(0)
 
         # B-spline seeds: linear in joint space, or fitted to graph paths
+        pin = cfg.pin_goal
         if seed_paths is not None:
-            free0 = self.transition.path_seed(seed_paths)
+            free0 = self.transition.path_seed(seed_paths, q_goal_pinned=pin)
         else:
             free0 = self.transition.linear_seed(
-                jnp.broadcast_to(q_start[:, None], (B, S, D)), seed_q
+                jnp.broadcast_to(q_start[:, None], (B, S, D)), seed_q,
+                q_goal_pinned=pin,
             )
+        q_end = seed_q if pin else None
         dt = jnp.broadcast_to(self.estimate_dt(q_start[:, None], seed_q), (B, S))
 
         use_pallas = self._use_pallas(world, goal) and not self._pallas_cache.is_broken(
@@ -404,7 +422,7 @@ class TrajOptSolver:
         )
         impl = self._pallas_cache.get(world) if use_pallas else self._finetune_xla
         try:
-            return impl(world, goal, q_start, free0, dt, key)
+            return impl(world, goal, q_start, free0, dt, key, q_end)
         except jax.errors.JaxRuntimeError as e:
             if not use_pallas:
                 raise
@@ -415,10 +433,10 @@ class TrajOptSolver:
                 f"({str(e)[:160]}); falling back to the XLA path"
             )
             self._pallas_cache.mark_broken(world)
-            return self._finetune_xla(world, goal, q_start, free0, dt, key)
+            return self._finetune_xla(world, goal, q_start, free0, dt, key, q_end)
 
     def _finetune_impl(
-        self, world, goal, q_start, free0, dt, key, solve_fn=None,
+        self, world, goal, q_start, free0, dt, key, q_end=None, solve_fn=None,
         solve_fn_ft=None,
     ) -> TrajOptResult:
         """Finetune rounds + per-problem best-seed merge + final rollout and
@@ -435,7 +453,7 @@ class TrajOptSolver:
                     and attempt > 0)
                 else solve_fn
             )
-            out = fn(world, goal, q_start, free0, dt, key)
+            out = fn(world, goal, q_start, free0, dt, key, q_end)
             ok = out.converged  # (B, S)
             # candidate score: feasible+converged -> motion time, else BIG
             mt = out.dt_retimed * (cfg.bspline.horizon - 1)
@@ -456,6 +474,8 @@ class TrajOptSolver:
                 "cost": take(out.cost),
                 "success": take(ok),
             }
+            if q_end is not None:
+                cand["q_end"] = take(q_end)
             if best is None:
                 best = cand
             else:
@@ -476,8 +496,9 @@ class TrajOptSolver:
                 )
 
         # materialize the best trajectory at its retimed dt
+        best_q_end = best.get("q_end")
         traj = self.transition.rollout(
-            best["free_knots"], q_start, best["dt"],
+            best["free_knots"], q_start, best["dt"], q_goal=best_q_end,
             joint_names=self.params.joint_names,
         )
         # final feasibility at the retimed dt
@@ -492,6 +513,7 @@ class TrajOptSolver:
             rotation_error=res.rot_err,
             cost=res.cost,
             free_knots=best["free_knots"],
+            q_end=best_q_end,
         )
 
     # ------------------------------------------------------------------
@@ -511,7 +533,9 @@ class TrajOptSolver:
             H_out = h_out
         else:
             H_out = int(np.ceil(float(jnp.max(result.motion_time)) / dt_out)) + 1
-        ctrl = self.transition.assemble_control(result.free_knots, q_start)
+        ctrl = self.transition.assemble_control(
+            result.free_knots, q_start, q_goal=result.q_end
+        )
         t = jnp.arange(H_out) * dt_out  # (H_out,)
         t_norm = t / result.motion_time[:, None]  # (B, H_out)
         q = self.transition.evaluate_at(ctrl, result.dt, jnp.clip(t_norm, 0.0, 1.0))

@@ -81,10 +81,12 @@ def problem(setup):
 
     from curobo_tpu.ops.pallas_ik import pack_world_arrays
 
-    gb, xb, qb, db, nb, Npad = ptc._traj_pack(goal7, free_flat, q_start, dtv)
+    gb, xb, qb, eb, db, nb, Npad = ptc._traj_pack(
+        goal7, free_flat, q_start, None, dtv
+    )
     assert nb == 1 and Npad == NP
     blocks = dict(
-        goal=gb[0], qs=qb[0], x=xb[0], dt=db[0][0],
+        goal=gb[0], qs=qb[0], qe=eb[0], x=xb[0], dt=db[0][0],
         w=pack_world_arrays(world),
     )
     return dict(
@@ -95,7 +97,8 @@ def problem(setup):
 
 def _eval(ptc, b, x, mode):
     return ptc._lane_eval(
-        ptc._lane_tbl, ptc._G, b["goal"], b["qs"], b["dt"], x, b["w"], mode
+        ptc._lane_tbl, ptc._G, b["goal"], b["qs"], b["qe"], b["dt"], x,
+        b["w"], mode,
     )
 
 
@@ -144,6 +147,52 @@ class TestTrajKernelConsistency:
         rel = np.abs(gk - np.asarray(gb)) / (np.abs(np.asarray(gb)) + 1.0)
         assert np.median(rel) < 1e-4
         assert np.percentile(rel, 99) < 1e-2
+
+    def test_pinned_goal_cost_grad_match_blast(self, setup, problem):
+        """pin_goal=True kernel (q_end pinned terminal) vs the blast
+        objective through the q_goal-pinned spline."""
+        from curobo_tpu.ops.pallas_traj import PallasTrajCost
+        from curobo_tpu.transition.bspline import BSplineConfig, BSplineTransition
+
+        kin, world, cfg, bsp_, blast, ptc, trans_ = setup
+        p = problem
+        D, NP = p["D"], p["NP"]
+        rng = np.random.RandomState(3)
+        q_end = jnp.asarray(rng.uniform(-1.5, 1.5, (NP, D)), jnp.float32)
+        # double pinning consumes 2*N_PIN control points; use a spline with
+        # interior knots left over
+        bsp = BSplineConfig(degree=3, n_control=10, horizon=8)
+        trans = BSplineTransition(bsp)
+        ptc_pin = PallasTrajCost(kin.params, cfg, world, bsp, pin_goal=True)
+        nf = bsp.n_free_cspace
+        free0 = trans.linear_seed(p["q_start"], q_end, q_goal_pinned=True)
+        free_flat = free0.reshape(NP, -1)
+        gb_, xb, qb, eb, db, nb, Npad = ptc_pin._traj_pack(
+            p["goal7"], free_flat, p["q_start"], q_end, p["dtv"]
+        )
+        b = dict(goal=gb_[0], qs=qb[0], qe=eb[0], x=xb[0], dt=db[0][0],
+                 w=p["blocks"]["w"])
+        ck_blk, gk_blk = jax.jit(lambda x: _eval(ptc_pin, b, x, "grad"))(b["x"])
+        ck = _rows(ptc_pin, ck_blk, NP)
+        gk = _rows(ptc_pin, gk_blk, NP)
+
+        def blast_cost(ff):
+            knots = ff.reshape(NP, nf, D)
+            traj = trans.rollout(knots, p["q_start"], p["dtv"], q_goal=q_end)
+            return blast.evaluate_trajectory(world, p["goal"], traj).cost
+
+        cb = blast_cost(free_flat)
+        rel = np.abs(ck - np.asarray(cb)) / (np.abs(np.asarray(cb)) + 1e-2)
+        assert np.max(rel) < 1e-3
+        gb2 = jax.grad(lambda f: jnp.sum(blast_cost(f)))(free_flat)
+        rel_g = np.abs(gk - np.asarray(gb2)) / (np.abs(np.asarray(gb2)) + 1.0)
+        assert np.percentile(rel_g, 99) < 1e-2
+        # terminal state of the pinned spline is exactly q_end, at rest
+        traj = trans.rollout(free0, p["q_start"], p["dtv"], q_goal=q_end)
+        np.testing.assert_allclose(
+            np.asarray(traj.position[:, -1]), np.asarray(q_end), atol=1e-5
+        )
+        assert float(jnp.abs(traj.velocity[:, -1]).max()) < 1e-3
 
     def test_metrics_match_blast(self, setup, problem):
         kin, world, cfg, bsp, blast, ptc, trans = setup
@@ -228,8 +277,8 @@ class TestTrajInKernelSolvers:
         def cost_flat(x):  # (..., N, nfD) -> (..., N)
             if x.ndim > 2:
                 return jax.vmap(cost_flat)(x)
-            _, xb, _, _, nb, Npad = ptc._traj_pack(
-                p["goal7"], x, p["q_start"], p["dtv"])
+            _, xb, _, _, _, nb, Npad = ptc._traj_pack(
+                p["goal7"], x, p["q_start"], None, p["dtv"])
             c = _eval(ptc, b, xb[0], "cost")
             return ptc._unpack_rows(c[None], 1, Npad, x.shape[0])
 
