@@ -245,16 +245,19 @@ def bench_dual_ur10e_cfik():
     st = compute_kinematics(p, q_goal)
     goals = Pose(st.tool_pose.position, st.tool_pose.quaternion)  # (B, 2)
 
+    # budget: 4.5x headroom vs the 15.64 ms baseline at 16 seeds / 30
+    # iters but 97 % success — spend some of it on seeds + iterations to
+    # clear the reference's 99.2 %
     solver = IKSolver(
         p,
         IKConfig(
-            n_seeds=16,
+            n_seeds=24,
             use_lm_seed=True,
             lm_seed_iters=12,
-            lm_seed_pool=48,
-            mppi=MPPIConfig(n_particles=16, n_iters=4, init_std=0.5),
+            lm_seed_pool=72,
+            mppi=MPPIConfig(n_particles=16, n_iters=5, init_std=0.5),
             lbfgs=LBFGSConfig(
-                history=10, n_iters=30,
+                history=10, n_iters=40,
                 line_search=LineSearchConfig(
                     scales=(0.05, 0.2, 0.5, 0.8, 1.0, 1.4)
                 ),

@@ -10,6 +10,18 @@ collision_checking, perception, types, runtime.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Full-f32 matmuls everywhere: TPU's default matmul precision rounds f32
+# operands to bfloat16 on the MXU. This framework's matmuls are tiny
+# (3x3 rotation composition, spline basis application, pair-difference
+# one-hots) and accuracy-critical — measured: bf16 basis einsums inflate
+# the B-spline jerk readout 2.4x (large third-derivative basis entries,
+# heavy cancellation), and mm-scale pose/self-collision accuracy loses
+# ~0.4 % of operand magnitude. The hot kernels are VPU-bound, so the
+# 3-pass f32 MXU cost is noise here.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Types
 from curobo_tpu.types.pose import Pose
 from curobo_tpu.types.state import JointState, RobotState

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from curobo_tpu import runtime
+from curobo_tpu.cost import terms
 from curobo_tpu.geom import world as world_mod
 from curobo_tpu.opt.lbfgs import LBFGSConfig, lbfgs_optimize
 from curobo_tpu.opt.mppi import MPPIConfig, mppi_optimize
@@ -66,7 +67,17 @@ class IKConfig:
     kernel_ls_ratio: float = 0.45
     mppi: MPPIConfig = MPPIConfig(n_particles=32, n_iters=8, init_std=0.6)
     lbfgs: LBFGSConfig = LBFGSConfig(history=12, n_iters=40)
-    rollout: RobotRolloutConfig = RobotRolloutConfig()
+    # IK treats scene collision as a CONSTRAINT at contact (activation 0),
+    # not a standoff: the reference's IK config
+    # (`configs/task/ik/lbfgs_ik.yml`: scene_collision activation 0.00,
+    # weight 5000). A nonzero activation pushes goals within `activation`
+    # of an obstacle off the pose target — near-surface (e.g. tabletop
+    # grasp) goals become unsolvable by exactly that margin.
+    rollout: RobotRolloutConfig = RobotRolloutConfig(
+        collision_cost=terms.CollisionCostConfig(
+            weight=500.0, activation_distance=0.0
+        )
+    )
     position_threshold: float = 0.005
     rotation_threshold: float = 0.05
 
