@@ -55,11 +55,14 @@ def _franka_cfik_setup():
     return kin, world, goals
 
 
-def _franka_ik_config(warmup=16, mppi_iters=2, lbfgs_iters=20):
-    # swept on TPU (PERF.md r4.5): pose-only warmup iterations are ~free,
-    # so trading MPPI 4->2 and L-BFGS 24->20 for warmup 8->16 keeps 100 %
-    # success (18 iters dipped to 99 % at K=32 key diversity) at ~5 ms
-    # K=32-pipelined vs 7.4 ms for the round-3 budget
+def _franka_ik_config(warmup=32, mppi_iters=0, lbfgs_iters=6, linesearch=4):
+    # swept on TPU (tools/sweep_cfik_budget.py, PERF.md r4.10): with the
+    # pose-only warmup stage (~free per iter) and the contact-constraint
+    # collision cost (activation 0), the MPPI stage is unnecessary — a
+    # warmup-32 + L-BFGS-6 x 4-point-line-search budget holds 100 %
+    # success across 8 solve keys at ~2.1 ms pipelined (reference:
+    # 2.73 ms). Observed failure edges: warmup 16 (91 %), lbfgs 3 +
+    # ls 3 (99 %) — this budget keeps ~30 % margin above both.
     from curobo_tpu.opt.lbfgs import LBFGSConfig, LineSearchConfig
     from curobo_tpu.opt.mppi import MPPIConfig
     from curobo_tpu.solver.ik import IKConfig
@@ -73,6 +76,7 @@ def _franka_ik_config(warmup=16, mppi_iters=2, lbfgs_iters=20):
             history=10, n_iters=lbfgs_iters,
             line_search=LineSearchConfig(scales=(0.05, 0.2, 0.5, 0.8, 1.0, 1.4)),
         ),
+        kernel_linesearch=linesearch,
     )
 
 
@@ -185,22 +189,18 @@ def bench_franka_cfik_breakdown():
         ms, _ = _pipelined_ms(solve, world, goal, seeds, keys, K=16, reps=5)
         return ms
 
-    full = timed(16, 2, 18)
-    half_lbfgs = timed(16, 2, 9)
-    half_mppi = timed(16, 1, 18)
-    no_warmup = timed(0, 2, 18)
-    lb_i = max((full - half_lbfgs) / 9.0, 0.0)
-    mp_i = max(full - half_mppi, 0.0)
-    wu_i = max((full - no_warmup) / 16.0, 0.0)
-    fixed = full - 18 * lb_i - 2 * mp_i - 16 * wu_i
+    full = timed(32, 0, 6)
+    half_lbfgs = timed(32, 0, 3)
+    no_warmup = timed(0, 0, 6)
+    lb_i = max((full - half_lbfgs) / 3.0, 0.0)
+    wu_i = max((full - no_warmup) / 32.0, 0.0)
+    fixed = full - 6 * lb_i - 32 * wu_i
     return dict(
         full_ms=round(full, 3),
         lbfgs_ms_per_iter=round(lb_i, 4),
-        mppi_ms_per_iter=round(mp_i, 4),
         warmup_ms_per_iter=round(wu_i, 4),
-        lbfgs_total_ms=round(18 * lb_i, 3),
-        mppi_total_ms=round(2 * mp_i, 3),
-        warmup_total_ms=round(16 * wu_i, 3),
+        lbfgs_total_ms=round(6 * lb_i, 3),
+        warmup_total_ms=round(32 * wu_i, 3),
         fixed_ms=round(fixed, 3),
     )
 
