@@ -13,7 +13,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def timeit(fn, *args, reps=30, k=4):
+def timeit(fn, *args, reps=96, k=32):
     import jax
 
     out = fn(*args)
