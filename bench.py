@@ -6,12 +6,16 @@ Mirrors the reference benchmarks (`benchmark/ik_benchmark.py`,
 reference Franka CF-IK = 2.73 ms, G1 CF-IK = 526.87 ms / 98.4 %,
 motion-gen 99.73 % success / p98 81 ms (RTX 6000 Ada).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline = reference_time / our_time (>1 means faster than reference);
-secondary suites ride along as extra keys. Env toggles:
-BENCH_SKIP_G1=1 / BENCH_SKIP_MPC=1 / BENCH_SKIP_PERCEPTION=1 /
-BENCH_SKIP_MOTION=1 skip the secondary suites,
-BENCH_MOTION_LIMIT=N caps the motion problem count (default 30).
+Prints a JSON line {"metric", "value", "unit", "vs_baseline", ...} after
+EVERY completed suite (the last line is the most complete result — parse
+that), where vs_baseline = reference_time / our_time (>1 means faster than
+reference); secondary suites ride along as extra keys. The same line is
+mirrored to BENCH_partial.json. Env toggles:
+BENCH_DEADLINE_S=N global wall-clock budget (default 1500); suites that
+don't fit the remaining budget are recorded as {"skipped": ...} instead of
+starting. BENCH_SKIP_G1=1 / BENCH_SKIP_MPC=1 / BENCH_SKIP_PERCEPTION=1 /
+BENCH_SKIP_MOTION=1 / BENCH_SKIP_DUAL=1 / BENCH_SKIP_BREAKDOWN=1 skip
+suites, BENCH_MOTION_LIMIT=N caps the motion problem count (default 90).
 """
 
 import json
@@ -49,7 +53,20 @@ def _franka_cfik_setup():
 
     rsc = RobotSceneCollision(kin.params)
     q_goal, ok = rsc.sample(world, B)
-    assert bool(jnp.all(ok)), "goal sampling failed to find enough configs"
+    if not bool(jnp.all(ok)):
+        # top up by rejection instead of dying: a sampling hiccup must not
+        # cost the whole bench capture (VERDICT r4 weak #8)
+        rng = np.random.RandomState(3)
+        lo = np.asarray(kin.params.joint_limits.lower)
+        hi = np.asarray(kin.params.joint_limits.upper)
+        pool = [np.asarray(q_goal)[np.asarray(ok)]]
+        got = int(np.sum(np.asarray(ok)))
+        while got < B:
+            cand = rng.uniform(lo, hi, (4 * B, kin.params.n_dof)).astype(np.float32)
+            m = np.asarray(rsc.validate(world, jnp.asarray(cand)))
+            pool.append(cand[m])
+            got += int(m.sum())
+        q_goal = jnp.asarray(np.concatenate(pool)[:B])
     st = compute_kinematics(kin.params, q_goal)
     goals = Pose(st.tool_pose.position[:, 0], st.tool_pose.quaternion[:, 0])
     return kin, world, goals
@@ -537,9 +554,11 @@ def bench_perception():
     )
 
 
-def bench_motion(limit):
+def bench_motion(limit, timeout_s=2900):
     """Quick motion-gen suite (fixed-seed Franka problems); the full run is
-    bench_motion.py."""
+    bench_motion.py. The child gets its own subprocess timeout (which KILLS
+    it — an orphaned child would hold the remote compile queue and stall
+    every later process, CLAUDE.md)."""
     import subprocess
 
     # resolve relative to THIS source file on disk (robust to exec wrappers)
@@ -550,7 +569,7 @@ def bench_motion(limit):
         root = "/root/repo"
     out = subprocess.run(
         [sys.executable, os.path.join(root, "bench_motion.py"), "--limit", str(limit)],
-        capture_output=True, text=True, timeout=3000,
+        capture_output=True, text=True, timeout=max(timeout_s, 60),
         cwd=root,
     )
     lines = out.stdout.strip().splitlines()
@@ -598,78 +617,87 @@ def _with_timeout(fn, seconds):
         signal.signal(signal.SIGALRM, old)
 
 
+def _emit(out):
+    """Print the FULL current result dict as one JSON line (flushed) and
+    mirror it to BENCH_partial.json. Called after EVERY suite: the driver
+    parses the LAST JSON line of stdout, so a mid-suite timeout loses only
+    the suite in flight, never the suites already done (round-4 lost the
+    entire capture to a single end-of-process print, VERDICT r4 #1)."""
+    line = json.dumps(out)
+    print(line, flush=True)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_partial.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
 def main():
     # persistent compile cache: the solver kernels cost minutes of remote
     # Mosaic/XLA compile each; cache them across bench processes
     from curobo_tpu import runtime as rt
 
     rt.enable_compilation_cache()
-    try:
-        r = bench_franka_cfik()
-    except RuntimeError as e:
-        if "backend" in str(e).lower() or "UNAVAILABLE" in str(e):
-            # TPU tunnel outage: emit a parseable record instead of a stack
-            # trace so the driver capture stays machine-readable.
-            print(json.dumps({
-                "metric": "franka_cfik_b100_s32_ms",
-                "value": None,
-                "unit": "ms",
-                "vs_baseline": None,
-                "error": "TPU backend unavailable: " + str(e)[:300],
-            }))
-            return
-        raise
+
+    t_start = time.time()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+
+    def remaining():
+        return deadline_s - (time.time() - t_start)
+
     out = {
         "metric": "franka_cfik_b100_s32_ms",
-        "value": round(r["t_ms"], 3),
+        "value": None,
         "unit": "ms",
-        "vs_baseline": round(BASELINE_CFIK_MS / r["t_ms"], 3),
-        "median_ms": round(r["t_med"], 3),
-        "single_call_ms": r["single_call_ms"],
-        "tunnel_rtt_floor_ms": r["rtt_floor_ms"],
-        "success_rate": round(r["success"], 4),
+        "vs_baseline": None,
     }
-    if not os.environ.get("BENCH_SKIP_BREAKDOWN"):
+    _emit(out)  # parseable from second zero, even if the headline hangs
+    try:
+        r = _with_timeout(bench_franka_cfik, max(min(900, remaining() - 30), 60))
+        out.update({
+            "value": round(r["t_ms"], 3),
+            "vs_baseline": round(BASELINE_CFIK_MS / r["t_ms"], 3),
+            "median_ms": round(r["t_med"], 3),
+            "single_call_ms": r["single_call_ms"],
+            "tunnel_rtt_floor_ms": r["rtt_floor_ms"],
+            "success_rate": round(r["success"], 4),
+        })
+    except Exception as e:
+        out["error"] = str(e)[:300]
+    _emit(out)
+
+    # Secondary suites in information-value-per-second order; each checks
+    # the global deadline before starting (skip > start-and-die) and runs
+    # under min(its own watchdog, time left). Warm-cache cost estimates in
+    # seconds; a suite only starts if it plausibly fits.
+    suites = [
+        ("g1_cfik", bench_g1_cfik, "BENCH_SKIP_G1", 1200, 150),
+        ("franka_motion_gen",
+         lambda: bench_motion(int(os.environ.get("BENCH_MOTION_LIMIT", "90")),
+                              timeout_s=remaining() - 20),
+         "BENCH_SKIP_MOTION", 2400, 240),
+        ("perception", bench_perception, "BENCH_SKIP_PERCEPTION", 600, 90),
+        ("dual_ur10e_cfik", bench_dual_ur10e_cfik, "BENCH_SKIP_DUAL", 600, 90),
+        ("franka_mpc", bench_mpc, "BENCH_SKIP_MPC", 600, 60),
+        ("franka_cfik_breakdown", bench_franka_cfik_breakdown,
+         "BENCH_SKIP_BREAKDOWN", 1200, 120),
+    ]
+    for key, fn, skip_env, watchdog, est_s in suites:
+        if os.environ.get(skip_env):
+            continue
+        left = remaining()
+        if left < est_s + 30:
+            out[key] = {"skipped": f"deadline: {left:.0f}s left, needs ~{est_s}s"}
+            _emit(out)
+            continue
         try:
-            out["franka_cfik_breakdown"] = _with_timeout(
-                bench_franka_cfik_breakdown, 1200
-            )
-        except Exception as e:
-            out["franka_cfik_breakdown"] = {"error": str(e)[:200]}
-    if not os.environ.get("BENCH_SKIP_DUAL"):
-        try:
-            out["dual_ur10e_cfik"] = _with_timeout(bench_dual_ur10e_cfik, 600)
-        except Exception as e:
-            out["dual_ur10e_cfik"] = {"error": str(e)[:200]}
-    if not os.environ.get("BENCH_SKIP_G1"):
-        try:
-            # generous watchdog: the G1 whole-body blast graph is the
-            # slowest remote compile in the suite (cold cache: ~15-25 min
-            # when the tunnel drifts slow); warm-cache runs take ~1 min
-            out["g1_cfik"] = _with_timeout(bench_g1_cfik, 1800)
+            out[key] = _with_timeout(fn, min(watchdog, left - 15))
         except Exception as e:  # secondary suite must not kill the metric
-            out["g1_cfik"] = {"error": str(e)[:200]}
-    if not os.environ.get("BENCH_SKIP_MPC"):
-        try:
-            out["franka_mpc"] = _with_timeout(bench_mpc, 600)
-        except Exception as e:
-            out["franka_mpc"] = {"error": str(e)[:200]}
-    if not os.environ.get("BENCH_SKIP_PERCEPTION"):
-        try:
-            out["perception"] = _with_timeout(bench_perception, 600)
-        except Exception as e:
-            out["perception"] = {"error": str(e)[:200]}
-    if not os.environ.get("BENCH_SKIP_MOTION"):
-        try:
-            out["franka_motion_gen"] = _with_timeout(
-                lambda: bench_motion(
-                    int(os.environ.get("BENCH_MOTION_LIMIT", "30"))
-                ),
-                2400,
-            )
-        except Exception as e:
-            out["franka_motion_gen"] = {"error": str(e)[:200]}
-    print(json.dumps(out))
+            out[key] = {"error": str(e)[:200]}
+        _emit(out)
+    out["bench_wall_s"] = round(time.time() - t_start, 1)
+    _emit(out)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def main():
         pcfg = dataclasses.replace(pcfg, n_trajopt_seeds=args.trajopt_seeds)
     planner = MotionPlanner(kin.params, pcfg)
 
-    def run(prob, key):
+    def run(prob, key, attribute=False):
         world = build_world(prob["world"], cap)
         goal = Pose(
             jnp.asarray([prob["goal_pose"][:3]], jnp.float32),
@@ -94,7 +94,7 @@ def main():
             jnp.asarray([prob["q_start"]], jnp.float32), kin.params.joint_names
         )
         t0 = time.perf_counter()
-        res = planner.plan_pose(world, goal, start, key=key)
+        res = planner.plan_pose(world, goal, start, key=key, attribute=attribute)
         jax.block_until_ready(res.trajectory.position)
         return res, time.perf_counter() - t0
 
@@ -113,6 +113,7 @@ def main():
     rows = []
     for i, prob in enumerate(problems):
         res, dt_wall = run(prob, jax.random.PRNGKey(i))
+        attempts = getattr(planner, "last_attempts", 1)
         q = np.asarray(res.solver_trajectory.position[0])
         # robometrics path length: sum over steps of the joint-space L2 step
         dq = float(np.linalg.norm(np.diff(q, axis=0), axis=-1).sum())
@@ -131,6 +132,7 @@ def main():
                 motion_time=float(res.motion_time[0]),
                 path_length=float(dq),
                 max_jerk=jerk,
+                attempts=attempts,
             )
         )
 
@@ -170,6 +172,15 @@ def main():
         max_jerk_p98=float(np.percentile([r["max_jerk"] for r in ok], 98))
         if ok
         else -1.0,
+        retry_rate=float(np.mean([r["attempts"] > 1 for r in rows])),
+        plan_time_first_attempt_p98_ms=float(
+            np.percentile(
+                [r["plan_time"] for r in rows if r["attempts"] == 1], 98
+            )
+            * 1e3
+        )
+        if any(r["attempts"] == 1 for r in rows)
+        else -1.0,
         per_scenario={
             fam: dict(
                 n=len([r for r in rows if r["scenario"] == fam]),
@@ -180,6 +191,19 @@ def main():
             for fam in sorted({r["scenario"] for r in rows})
         },
     )
+    # per-phase latency attribution (VERDICT r4 #4): re-plan a sample with
+    # blocking syncs between phases; slower than production dispatch but
+    # shows where the milliseconds go
+    n_attr = min(6, len(problems))
+    if n_attr:
+        acc = {}
+        for i in range(n_attr):
+            run(problems[i], jax.random.PRNGKey(i), attribute=True)
+            for k, v in planner.last_attribution.items():
+                acc.setdefault(k, []).append(v)
+        out["attribution_mean"] = {
+            k: round(float(np.mean(v)), 2) for k, v in sorted(acc.items())
+        }
     print(json.dumps(out))
     if args.json_out:
         with open(args.json_out, "w") as f:

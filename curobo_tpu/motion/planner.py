@@ -119,13 +119,30 @@ class MotionPlanner:
         goal_pose: Pose,  # (B,)
         start_state: JointState,  # (B, D)
         key: Optional[jax.Array] = None,
+        attribute: bool = False,
     ) -> MotionPlanResult:
+        """attribute=True blocks the device after every phase and records
+        wall-ms per phase in `self.last_attribution` (ik / seed-select /
+        graph-seed / trajopt / merge / interpolate, per attempt). Blocking
+        serializes the async dispatch queue, so attributed runs are slower
+        than production runs — use for diagnosis, not headline timing."""
         cfg = self.cfg
         t0 = time.perf_counter()
         if key is None:
             key = jax.random.PRNGKey(0)
         q_start = start_state.position
         B = q_start.shape[0]
+
+        attr: dict = {}
+
+        def mark(name, val):
+            if attribute:
+                jax.block_until_ready(val)
+                now = time.perf_counter()
+                attr[name] = attr.get(name, 0.0) + (now - mark.t) * 1e3
+                mark.t = now
+
+        mark.t = t0
 
         best: Optional[TrajOptResult] = None
         ik_success = jnp.zeros((B,), dtype=bool)
@@ -135,21 +152,33 @@ class MotionPlanner:
                 world, goal_pose, key=k_ik,
                 seed_state=q_start if attempt == 0 else None,
             )
+            mark("ik_ms", ik_res.solution)
             ik_success = ik_success | ik_res.success
             seeds = self._select_seeds_jit(ik_res, cfg.n_trajopt_seeds)
+            mark("seed_select_ms", seeds)
             seed_paths = None
             if cfg.enable_graph_attempt >= 0 and attempt >= cfg.enable_graph_attempt:
                 seed_paths = self._graph_seed_paths(world, q_start, seeds)
+                mark("graph_seed_ms", seed_paths)
             res = self.trajopt.solve_pose(
                 world, goal_pose, q_start, seeds, key=k_to, seed_paths=seed_paths
             )
+            mark("trajopt_ms", res.trajectory.position)
             best = res if best is None else self._merge_best_jit(res, best)
-            if bool(jnp.all(best.success)):
+            all_ok = bool(jnp.all(best.success))
+            mark("merge_sync_ms", None)
+            if all_ok:
                 break
+        self.last_attempts = attempt + 1
+        if attribute:
+            attr["attempts"] = attempt + 1
 
         interp = self.trajopt.interpolate(
             best, q_start, cfg.interpolation_dt, h_out=self._interp_steps()
         )
+        mark("interpolate_ms", interp.position)
+        if attribute:
+            self.last_attribution = attr
         return MotionPlanResult(
             success=best.success,
             trajectory=interp,

@@ -576,6 +576,13 @@ class PallasTrajCost:
         gb = pad(goal7, 7, pad_row=[0, 0, 0, 1, 0, 0, 0])
         xb = pad(free, n_free * D)
         qb = pad(q_start, D)
+        if self.pin_goal and q_end is None:
+            # silently pinning the far end to q_start would "solve" every
+            # problem with a trajectory that returns home (ADVICE r4 #5)
+            raise ValueError(
+                "pin_goal=True requires q_end (the goal config to pin the "
+                "spline's terminal state to); got q_end=None"
+            )
         eb = pad(q_start if q_end is None else q_end, D)
         db = pad(jnp.maximum(dtv, 1e-4)[:, None], 1, pad_row=[0.02])
         return gb, xb, qb, eb, db, nb, Npad

@@ -92,6 +92,10 @@ class BlockSparseTSDF:
     pool_coords: jnp.ndarray  # (P, 3) int32 block coords of each pool slot
     n_alloc: jnp.ndarray  # () int32 allocated blocks
     dropped_blocks: jnp.ndarray  # () int32 candidates dropped at capacity
+    # () int32 frame-active blocks beyond max_active_blocks (fused path):
+    # those blocks received no TSDF update that frame — nonzero means the
+    # cap is too small for the rig/scene (raise max_active_blocks)
+    dropped_active: jnp.ndarray
     tsdf: jnp.ndarray  # (P, b, b, b) f32
     weight: jnp.ndarray  # (P, b, b, b) f32
     rgb: Optional[jnp.ndarray] = None  # (P, b, b, b, 3) f32 weighted mean
@@ -121,6 +125,7 @@ def make_sparse_grid(cfg: BlockSparseConfig) -> BlockSparseTSDF:
         pool_coords=jnp.zeros((P, 3), jnp.int32),
         n_alloc=jnp.int32(0),
         dropped_blocks=jnp.int32(0),
+        dropped_active=jnp.int32(0),
         tsdf=jnp.full((P, b, b, b), cfg.truncation, jnp.float32),
         weight=jnp.zeros((P, b, b, b), jnp.float32),
         rgb=(
@@ -410,17 +415,35 @@ def integrate_cameras_sparse(
     gather/scatter, sequential per-camera fusion math in registers.
 
     Matches `integrate_camera_sparse(obs_n) o ... o integrate_camera_sparse
-    (obs_1)` semantics exactly (dense-path fusion order), but the pool
-    payload traffic and the active-set machinery are paid once per frame
-    SET instead of once per camera — the TPU redesign of the reference's
-    per-camera kernel launches (`wp_integrate_camera_project.py:27-40`,
-    2 ms/frame dual-RGBD claim `docs/index.rst:19`)."""
+    (obs_1)` semantics (dense-path fusion order, per-camera appearance
+    flags), but the pool payload traffic and the active-set machinery are
+    paid once per frame SET instead of once per camera — the TPU redesign
+    of the reference's per-camera kernel launches
+    (`wp_integrate_camera_project.py:27-40`, 2 ms/frame dual-RGBD claim
+    `docs/index.rst:19`).
+
+    Budgets: the rig-union dedup buffer is n_cameras *
+    max_new_blocks_per_frame (same headroom as the sequential path);
+    overflow adds to `dropped_blocks`. Actives beyond `max_active_blocks`
+    skip that frame's update and add to `dropped_active` — both counters
+    zero <=> exact sequential equivalence."""
     # ---- discovery + allocation over all cameras ----
     cand = jnp.concatenate(
         [_discover_blocks(cfg, o) for o in observations], axis=0
     )
     keys = _encode(cand)
-    uniq = jnp.unique(keys, size=cfg.max_new_blocks_per_frame, fill_value=_FREE)
+    # per-rig dedup budget: n_cameras * the per-camera budget, so the fused
+    # path never gives the rig LESS allocation headroom than running
+    # integrate_camera_sparse per camera would (ADVICE r4 #2). Overflow past
+    # the buffer is counted, not silent: those blocks never reach
+    # allocation this frame.
+    U = len(observations) * cfg.max_new_blocks_per_frame
+    uniq = jnp.unique(keys, size=U, fill_value=_FREE)
+    ks = jnp.sort(keys)
+    n_uniq_true = jnp.sum(
+        jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    ).astype(jnp.int32)
+    dedup_overflow = jnp.maximum(n_uniq_true - U, 0)
     pre = _lookup(cfg, grid, uniq)
     has_new = jnp.any((pre < 0) & (uniq != _FREE))
     tk, ts, pc_, n, dr = jax.lax.cond(
@@ -442,7 +465,7 @@ def integrate_cameras_sparse(
     )
     grid = dataclasses.replace(
         grid, table_key=tk, table_slot=ts, pool_coords=pc_, n_alloc=n,
-        dropped_blocks=dr,
+        dropped_blocks=dr + dedup_overflow,
     )
 
     # ---- frame-active pool slots: the deduped union of both cameras'
@@ -450,12 +473,19 @@ def integrate_cameras_sparse(
     # mask scatter + nonzero (no second sort) ----
     b = cfg.block_size
     P = cfg.pool_blocks
-    A = cfg.max_active_blocks or cfg.max_new_blocks_per_frame
+    A = cfg.max_active_blocks or U
     uslot = _lookup(cfg, grid, uniq)  # post-allocation
     mask = (
         jnp.zeros((P + 1,), bool)
         .at[jnp.where(uslot >= 0, uslot, P)]
         .set(True)[:P]
+    )
+    # actives beyond the static cap get no update this frame — count them
+    # (ADVICE r4 #1) so an undersized max_active_blocks is visible
+    n_active = jnp.sum(mask).astype(jnp.int32)
+    grid = dataclasses.replace(
+        grid,
+        dropped_active=grid.dropped_active + jnp.maximum(n_active - A, 0),
     )
     (slots,) = jnp.nonzero(mask, size=A, fill_value=P)
     valid = slots < P
@@ -476,10 +506,12 @@ def integrate_cameras_sparse(
     # ---- gather payloads once ----
     t_cur = grid.tsdf[slot_g].reshape(-1)
     w_cur = grid.weight[slot_g].reshape(-1)
-    want_rgb = grid.rgb is not None and all(
+    # per-camera semantics (sequential-path parity): a camera missing
+    # rgb/feature skips ONLY its own appearance fuse, not the whole rig's
+    want_rgb = grid.rgb is not None and any(
         o.rgb is not None for o in observations
     )
-    want_feat = grid.feature is not None and all(
+    want_feat = grid.feature is not None and any(
         o.feature is not None for o in observations
     )
     rgb_cur = grid.rgb[slot_g].reshape(-1, 3) if want_rgb else None
@@ -509,9 +541,11 @@ def integrate_cameras_sparse(
         t_cur = jnp.where(
             w_sum > 0, (t_cur * w_cur + tsdf_new * w_new) / denom, t_cur
         )
-        if want_rgb or want_feat:
+        o_rgb = want_rgb and obs.rgb is not None
+        o_feat = want_feat and obs.feature is not None
+        if o_rgb or o_feat:
             band = (update & (jnp.abs(sdf) <= cfg.truncation))[:, None]
-            if want_rgb and want_feat:
+            if o_rgb and o_feat:
                 # one row-gather for all appearance channels (3 + F
                 # contiguous floats per pixel beats 2 separate gathers)
                 img = jnp.concatenate(
@@ -523,22 +557,22 @@ def integrate_cameras_sparse(
             else:
                 new_rgb = (
                     jnp.take(obs.rgb.reshape(H * W, 3), flat_px, axis=0)
-                    if want_rgb
+                    if o_rgb
                     else None
                 )
                 new_feat = (
                     jnp.take(obs.feature.reshape(H * W, F), flat_px, axis=0)
-                    if want_feat
+                    if o_feat
                     else None
                 )
-            if want_rgb:
+            if o_rgb:
                 rgb_cur = jnp.where(
                     band,
                     (rgb_cur * w_cur[:, None] + new_rgb * w_new[:, None])
                     / denom[:, None],
                     rgb_cur,
                 )
-            if want_feat:
+            if o_feat:
                 feat_cur = jnp.where(
                     band,
                     (feat_cur * w_cur[:, None] + new_feat * w_new[:, None])
@@ -703,6 +737,7 @@ class BlockSparseMapper:
             "allocated_blocks": int(self.grid.n_alloc),
             "pool_blocks": self.cfg.pool_blocks,
             "dropped_blocks": int(self.grid.dropped_blocks),
+            "dropped_active": int(self.grid.dropped_active),
             "bytes": int(self.grid.nbytes),
         }
 
@@ -720,6 +755,7 @@ class BlockSparseMapper:
             pool_coords=np.asarray(self.grid.pool_coords),
             n_alloc=np.asarray(self.grid.n_alloc),
             dropped=np.asarray(self.grid.dropped_blocks),
+            dropped_active=np.asarray(self.grid.dropped_active),
             tsdf=np.asarray(self.grid.tsdf),
             weight=np.asarray(self.grid.weight),
             block_size=self.cfg.block_size,
@@ -747,6 +783,11 @@ class BlockSparseMapper:
             pool_coords=jnp.asarray(d["pool_coords"]),
             n_alloc=jnp.asarray(d["n_alloc"]),
             dropped_blocks=jnp.asarray(d["dropped"]),
+            dropped_active=(
+                jnp.asarray(d["dropped_active"])
+                if "dropped_active" in d
+                else jnp.int32(0)
+            ),
             tsdf=jnp.asarray(d["tsdf"]),
             weight=jnp.asarray(d["weight"]),
             rgb=jnp.asarray(d["rgb"]) if "rgb" in d else None,

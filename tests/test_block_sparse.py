@@ -293,6 +293,126 @@ class TestDenseSparseExact:
         )
 
 
+class TestFusedRigBudgets:
+    """ADVICE r4 #1/#2: the fused multi-camera path must COUNT (not
+    silently drop) blocks lost to the rig-union dedup buffer or the
+    frame-active cap, and per-camera appearance flags must match the
+    sequential path when one camera lacks rgb/feature."""
+
+    def _rig(self, with_rgb=(True, True), seed=0, H=64, W=96):
+        rng = np.random.RandomState(seed)
+        f = W / (2.0 * np.tan(np.radians(60.0) / 2))
+        K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+        obs = []
+        for i, rgb in enumerate(with_rgb):
+            depth = jnp.asarray(1.0 + 0.4 * rng.rand(H, W).astype(np.float32))
+            obs.append(
+                CameraObservation(
+                    depth=depth,
+                    intrinsics=K,
+                    pose=Pose(
+                        jnp.asarray([0.3 * i, 0.0, -0.5]),
+                        jnp.asarray([1.0, 0, 0, 0]),
+                    ),
+                    rgb=jnp.asarray(rng.rand(H, W, 3), jnp.float32)
+                    if rgb
+                    else None,
+                )
+            )
+        return obs
+
+    def test_active_cap_overflow_is_counted(self):
+        from curobo_tpu.perception.block_sparse import (
+            BlockSparseConfig,
+            integrate_cameras_sparse,
+            make_sparse_grid,
+        )
+
+        cfg = BlockSparseConfig(
+            pool_blocks=2048, table_size=8192, discovery_stride=2,
+            max_new_blocks_per_frame=1024, max_active_blocks=8,
+        )
+        grid = integrate_cameras_sparse(cfg, make_sparse_grid(cfg), self._rig())
+        assert int(grid.n_alloc) > 8
+        # every active block beyond the 8-slot cap must be counted
+        assert int(grid.dropped_active) > 0
+
+    def test_dedup_buffer_overflow_is_counted(self):
+        from curobo_tpu.perception.block_sparse import (
+            BlockSparseConfig,
+            integrate_cameras_sparse,
+            make_sparse_grid,
+        )
+
+        cfg = BlockSparseConfig(
+            pool_blocks=2048, table_size=8192, discovery_stride=2,
+            max_new_blocks_per_frame=8,  # rig buffer = 16 << true uniques
+        )
+        grid = integrate_cameras_sparse(cfg, make_sparse_grid(cfg), self._rig())
+        assert int(grid.dropped_blocks) > 0
+
+    def test_ample_budgets_have_zero_drops(self):
+        from curobo_tpu.perception.block_sparse import (
+            BlockSparseConfig,
+            integrate_cameras_sparse,
+            make_sparse_grid,
+        )
+
+        cfg = BlockSparseConfig(
+            pool_blocks=4096, table_size=16384, discovery_stride=2,
+            max_new_blocks_per_frame=4096,
+        )
+        grid = integrate_cameras_sparse(cfg, make_sparse_grid(cfg), self._rig())
+        assert int(grid.dropped_blocks) == 0
+        assert int(grid.dropped_active) == 0
+
+    def test_mixed_rgb_rig_matches_dense(self):
+        """Camera 2 carries no rgb: the fused path must fuse camera 1's
+        rgb and skip camera 2's (per-camera flags), matching the DENSE
+        oracle voxel-for-voxel. (The per-camera sequential SPARSE path is
+        not the oracle here: stride-subsampled discovery means a camera
+        can integrate into a block only the OTHER camera discovered in the
+        fused/dense paths — fused fuses strictly more observations.)"""
+        from curobo_tpu.perception.mapper import (
+            MapperConfig,
+            integrate_camera,
+            make_grid,
+        )
+        from curobo_tpu.perception.block_sparse import (
+            BlockSparseConfig,
+            extract_dense,
+            integrate_cameras_sparse,
+            make_sparse_grid,
+        )
+
+        obs = self._rig(with_rgb=(True, False))
+        cfg = BlockSparseConfig(
+            pool_blocks=4096, table_size=16384, discovery_stride=2,
+            max_new_blocks_per_frame=4096, rgb_channels=True,
+        )
+        fused = integrate_cameras_sparse(cfg, make_sparse_grid(cfg), obs)
+        assert int(fused.dropped_blocks) == 0
+        assert int(fused.dropped_active) == 0
+        dcfg = MapperConfig(
+            dims=(96, 96, 96),
+            voxel_size=cfg.voxel_size,
+            origin=(-0.95, -0.95, -0.63),  # (k+0.5)*vs lattice-aligned
+            rgb_channels=True,
+        )
+        dg = make_grid(dcfg)
+        for o in obs:
+            dg = integrate_camera(dcfg, dg, o)
+        sg = extract_dense(cfg, fused, dcfg.dims, dcfg.origin)
+        m = np.asarray(sg.weight) > 0
+        assert m.sum() > 200
+        np.testing.assert_allclose(
+            np.asarray(sg.tsdf)[m], np.asarray(dg.tsdf)[m], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sg.rgb)[m], np.asarray(dg.rgb)[m], atol=1e-4
+        )
+
+
 class TestFacade:
     def test_decay_clears(self):
         cfg = BlockSparseConfig(pool_blocks=256, table_size=1024)
