@@ -736,6 +736,24 @@ class Mapper:
             data=esdf,
         )
 
+    def stats(self) -> dict:
+        """Storage statistics (sparse mode: pool occupancy + drop
+        counters; dense: grid footprint)."""
+        if self.storage == "sparse":
+            return self._sparse.stats()
+        g = self._dense_grid
+        return {
+            "dims": tuple(self.cfg.dims),
+            "bytes": int(
+                sum(
+                    np.prod(a.shape) * a.dtype.itemsize
+                    for a in (g.tsdf, g.weight)
+                    + ((g.rgb,) if g.rgb is not None else ())
+                    + ((g.feature,) if g.feature is not None else ())
+                )
+            ),
+        }
+
     # ---- checkpointing (parity: mapper.py:402-451 + checkpoint_blocks.py
     # metadata validation) ----
     def save(self, path: str) -> None:
