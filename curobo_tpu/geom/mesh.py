@@ -49,9 +49,100 @@ def load_mesh(path: str, scale=(1.0, 1.0, 1.0)) -> Tuple[np.ndarray, np.ndarray]
             else:
                 (n_tri,) = struct.unpack("<I", f.read(4))
                 v, f_ = _read_binary_stl(f, n_tri)
+    elif lower.endswith(".dae"):
+        v, f_ = _read_dae(path)
     else:
         raise ValueError(f"unsupported mesh format: {path}")
     return v * np.asarray(scale, dtype=np.float64), f_
+
+
+def _read_dae(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal COLLADA geometry reader: every <geometry>/<mesh>'s
+    <triangles>/<polylist> with the VERTEX input, concatenated into one
+    (V, 3)/(F, 3) pair. Honors <unit meter=...> and <up_axis>. Enough for
+    robot visual meshes (the reference ships .dae link visuals)."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    ns = {"c": root.tag.split("}")[0].strip("{")} if "}" in root.tag else {}
+    pre = "c:" if ns else ""
+
+    def findall(el, p):
+        return el.findall(p.replace("X:", pre), ns)
+
+    def find(el, p):
+        return el.find(p.replace("X:", pre), ns)
+
+    unit = find(root, "X:asset/X:unit")
+    meter = float(unit.get("meter", "1")) if unit is not None else 1.0
+    up_el = find(root, "X:asset/X:up_axis")
+    up = (up_el.text or "Y_UP").strip() if up_el is not None else "Y_UP"
+
+    all_v, all_f = [], []
+    for geom in findall(root, ".//X:library_geometries/X:geometry"):
+        mesh = find(geom, "X:mesh")
+        if mesh is None:
+            continue
+        # source id -> float array
+        sources = {}
+        for src in findall(mesh, "X:source"):
+            arr = find(src, "X:float_array")
+            if arr is not None and arr.text:
+                sources[src.get("id")] = np.asarray(
+                    arr.text.split(), dtype=np.float64
+                )
+        # vertices id -> POSITION source
+        vert_src = {}
+        for ve in findall(mesh, "X:vertices"):
+            for inp in findall(ve, "X:input"):
+                if inp.get("semantic") == "POSITION":
+                    vert_src[ve.get("id")] = inp.get("source", "").lstrip("#")
+        for prim in findall(mesh, "X:triangles") + findall(mesh, "X:polylist"):
+            inputs = findall(prim, "X:input")
+            stride = 1 + max(int(i.get("offset", "0")) for i in inputs)
+            v_off, v_src = 0, None
+            for i in inputs:
+                if i.get("semantic") == "VERTEX":
+                    v_off = int(i.get("offset", "0"))
+                    v_src = vert_src.get(i.get("source", "").lstrip("#"))
+            if v_src is None or v_src not in sources:
+                continue
+            verts = sources[v_src].reshape(-1, 3)
+            p_el = find(prim, "X:p")
+            if p_el is None or not p_el.text:
+                continue
+            idx = np.asarray(p_el.text.split(), dtype=np.int64)
+            vidx = idx.reshape(-1, stride)[:, v_off]
+            if prim.tag.endswith("polylist"):
+                vc_el = find(prim, "X:vcount")
+                counts = np.asarray(
+                    (vc_el.text or "").split(), dtype=np.int64
+                )
+                faces, pos = [], 0
+                for c in counts:
+                    for k in range(1, c - 1):  # fan-triangulate
+                        faces.append(
+                            [vidx[pos], vidx[pos + k], vidx[pos + k + 1]]
+                        )
+                    pos += c
+                faces = np.asarray(faces, dtype=np.int64)
+            else:
+                faces = vidx.reshape(-1, 3)
+            base = sum(len(v) for v in all_v)
+            all_v.append(verts)
+            all_f.append(faces + base)
+    if not all_v:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    v = np.concatenate(all_v) * meter
+    f_ = np.concatenate(all_f)
+    if up == "Z_UP":
+        pass  # URDF link frames are Z-up already
+    elif up == "X_UP":
+        v = v[:, [1, 0, 2]] * np.asarray([1.0, -1.0, 1.0])
+    else:  # Y_UP (COLLADA default): rotate +90deg about X -> Z-up
+        v = np.stack([v[:, 0], -v[:, 2], v[:, 1]], axis=-1)
+    return v, f_
 
 
 def _read_binary_stl(f, n_tri):

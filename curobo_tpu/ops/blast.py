@@ -368,13 +368,19 @@ def _self_collision_dense_fn(params: KinematicsParams, activation: float):
     M = np.full((S, S), -1.0e30, np.float32)
     M[pa[fin], pb[fin]] = mg[fin]
     M[pb[fin], pa[fin]] = mg[fin]
-    Mj = jnp.asarray(M)
     C = _SC_DENSE_ROW_CHUNK
     n_chunks = (S + C - 1) // C
 
     def _blocks(X, Y, Z):
         """Yield (dist, Mblk, dx, dy, dz) per row chunk; shapes
-        (Ci, S, *lanes) with M broadcast over lanes."""
+        (Ci, S, *lanes) with M broadcast over lanes.
+
+        M stays NUMPY in the closure and converts per call: this closure
+        is cached across jit traces (`_sc_dense_cache`), and a jnp
+        constant created inside one trace is a tracer there — caching it
+        leaks that tracer into the next trace (UnexpectedTracerError on
+        the second solver built from the same params)."""
+        Mj = jnp.asarray(M)
         extra = (1,) * (X.ndim - 1)
         for c in range(n_chunks):
             sl = slice(c * C, min((c + 1) * C, S))

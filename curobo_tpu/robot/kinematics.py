@@ -224,14 +224,25 @@ class Kinematics:
     Parity: reference `Kinematics` (`robot/kinematics/kinematics.py:38`).
     """
 
-    def __init__(self, params: KinematicsParams):
+    def __init__(self, params: KinematicsParams, visuals=None, asset_root=""):
         self.params = params
+        # host-side visual-mesh metadata for exporters (viewer/USD):
+        # {link_name: [{"mesh", "origin_xyz", "origin_rpy", "scale"}]}
+        self.visuals = visuals or {}
+        self.asset_root = asset_root
 
     @staticmethod
     def from_robot_config(cfg) -> "Kinematics":
         from curobo_tpu.robot.model import build_kinematics_params
 
-        return Kinematics(build_kinematics_params(cfg))
+        visuals = {
+            l.name: l.visual for l in cfg.links if getattr(l, "visual", None)
+        }
+        return Kinematics(
+            build_kinematics_params(cfg),
+            visuals=visuals,
+            asset_root=getattr(cfg, "asset_root", ""),
+        )
 
     @staticmethod
     def from_robot_yaml(path: str) -> "Kinematics":

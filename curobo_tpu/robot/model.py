@@ -13,6 +13,7 @@ user URDFs.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -56,6 +57,9 @@ class LinkSpec:
     mass: float = 0.0
     com: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     inertia: Tuple[float, ...] = (0.0,) * 9  # row-major 3x3 about CoM
+    # visual-mesh entries: [{"mesh": path, "origin_xyz", "origin_rpy",
+    # "scale"}], paths relative to the config's asset_root
+    visual: List[dict] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -80,6 +84,9 @@ class RobotModelConfig:
     self_collision_buffer: Dict[str, float] = dataclasses.field(default_factory=dict)
     sphere_buffer: float = 0.0
     extra_collision_spheres: Dict[str, int] = dataclasses.field(default_factory=dict)
+    # base directory for links[].visual mesh paths (override with the
+    # CUROBO_TPU_ASSET_ROOT env var at load time)
+    asset_root: str = ""
 
     # ------------------------------------------------------------------
     def with_locked_joints(
@@ -142,6 +149,7 @@ class RobotModelConfig:
                     mass=ld.get("mass", 0.0),
                     com=tuple(ld.get("com", (0.0, 0.0, 0.0))),
                     inertia=tuple(ld.get("inertia", (0.0,) * 9)),
+                    visual=list(ld.get("visual", [])),
                 )
             )
         cspace = r.get("cspace", {})
@@ -164,6 +172,9 @@ class RobotModelConfig:
             self_collision_buffer=collision.get("self_collision_buffer", {}),
             sphere_buffer=collision.get("sphere_buffer", 0.0),
             extra_collision_spheres=r.get("extra_collision_spheres", {}),
+            asset_root=os.environ.get(
+                "CUROBO_TPU_ASSET_ROOT", r.get("asset_root", "")
+            ),
         )
 
     @staticmethod
@@ -205,6 +216,19 @@ class RobotModelConfig:
                 mass=inertial.mass if inertial else 0.0,
                 com=tuple(inertial.com) if inertial else (0, 0, 0),
                 inertia=tuple(inertial.inertia.reshape(-1)) if inertial else (0.0,) * 9,
+                visual=[
+                    {
+                        "mesh": (
+                            v.mesh.split("://", 1)[1].split("/", 1)[-1]
+                            if v.mesh.startswith("package://")
+                            else v.mesh
+                        ),
+                        "origin_xyz": list(v.xyz),
+                        "origin_rpy": list(v.rpy),
+                        "scale": list(v.scale),
+                    }
+                    for v in link.visuals
+                ],
             )
             if name != base_link and j is not None:
                 spec.joint_name = j.name
@@ -226,6 +250,13 @@ class RobotModelConfig:
                 and l.mimic_joint is None
                 and l.joint_name not in (lock_joints or {})
             ]
+        kwargs.setdefault(
+            "asset_root",
+            os.environ.get(
+                "CUROBO_TPU_ASSET_ROOT",
+                os.path.dirname(os.path.abspath(urdf_path)),
+            ),
+        )
         return RobotModelConfig(
             name=robot.name,
             base_link=base_link,

@@ -68,11 +68,25 @@ class UrdfJoint:
 
 
 @dataclasses.dataclass
+class UrdfVisual:
+    """One <visual> mesh entry: file + link-frame placement + scale.
+
+    Parity: reference visual-mesh extraction for its UsdWriter
+    (`curobo/_src/util/usd_helper.py` link-mesh emission)."""
+
+    mesh: str
+    xyz: tuple = (0.0, 0.0, 0.0)
+    rpy: tuple = (0.0, 0.0, 0.0)
+    scale: tuple = (1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass
 class UrdfLink:
     name: str
     inertial: Optional[UrdfInertial] = None
     visual_meshes: List[str] = dataclasses.field(default_factory=list)
     collision_meshes: List[str] = dataclasses.field(default_factory=list)
+    visuals: List[UrdfVisual] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -142,6 +156,26 @@ def _parse_geometry_meshes(elem: ET.Element) -> List[str]:
     return out
 
 
+def _parse_visuals(elem: ET.Element) -> List[UrdfVisual]:
+    """<visual> entries with origin + scale (for visual-mesh export)."""
+    out = []
+    origin_el = elem.find("origin")
+    xyz = tuple(
+        _parse_floats(origin_el.get("xyz") if origin_el is not None else None,
+                      (0, 0, 0))
+    )
+    rpy = tuple(
+        _parse_floats(origin_el.get("rpy") if origin_el is not None else None,
+                      (0, 0, 0))
+    )
+    for geom in elem.findall("geometry/mesh"):
+        fn = geom.get("filename")
+        if fn:
+            scale = tuple(_parse_floats(geom.get("scale"), (1, 1, 1)))
+            out.append(UrdfVisual(mesh=fn, xyz=xyz, rpy=rpy, scale=scale))
+    return out
+
+
 def parse_urdf_string(text: str) -> UrdfRobot:
     root = ET.fromstring(text)
     if root.tag != "robot":
@@ -157,6 +191,7 @@ def parse_urdf_string(text: str) -> UrdfRobot:
             link.inertial = _parse_inertial(inertial_el)
         for vis in link_el.findall("visual"):
             link.visual_meshes.extend(_parse_geometry_meshes(vis))
+            link.visuals.extend(_parse_visuals(vis))
         for col in link_el.findall("collision"):
             link.collision_meshes.extend(_parse_geometry_meshes(col))
         links[name] = link

@@ -222,12 +222,22 @@ class UsdWriter:
 
     # ---- animated robot stage ------------------------------------------
     def add_robot_trajectory(
-        self, params, q_traj: np.ndarray, name: str = "robot"
+        self,
+        params,
+        q_traj: np.ndarray,
+        name: str = "robot",
+        visuals=None,
+        asset_root: str = "",
+        spheres: bool = True,
     ) -> None:
         """Animated per-link stage hierarchy (reference UsdWriter's robot
-        stage): q_traj (T, D) -> FK link transforms per frame; each link is
-        an Xform with translate/orient timeSamples, its collision spheres
-        static children in the link frame."""
+        stage, `usd_writer.py` link-mesh emission): q_traj (T, D) -> FK
+        link transforms per frame; each link is an Xform with
+        translate/orient timeSamples. Children: the link's VISUAL meshes
+        (from `visuals` = {link_name: [{"mesh", "origin_xyz",
+        "origin_rpy", "scale"}]}, paths resolved against `asset_root` —
+        pass `Kinematics.visuals` / `Kinematics.asset_root`) and/or its
+        collision spheres (`spheres=True`), all static in the link frame."""
         from curobo_tpu.robot import kinematics as kin_mod
 
         q = np.asarray(q_traj)
@@ -238,11 +248,19 @@ class UsdWriter:
         self._end_time = max(self._end_time, T / self.fps)
         centers = np.asarray(params.sphere_centers)
         radii = np.asarray(params.sphere_radii)
+        visuals = visuals or {}
         link_spheres = {}
-        for s, l in enumerate(params.sphere_link_idx):
-            if radii[s] >= 0:
-                link_spheres.setdefault(int(l), []).append(s)
-        for l, sph in sorted(link_spheres.items()):
+        if spheres:
+            for s, l in enumerate(params.sphere_link_idx):
+                if radii[s] >= 0:
+                    link_spheres.setdefault(int(l), []).append(s)
+        name_to_idx = {n: i for i, n in enumerate(params.link_names)}
+        links = set(link_spheres) | {
+            name_to_idx[n] for n in visuals if n in name_to_idx
+        }
+        for l in sorted(links):
+            link_name = params.link_names[l]
+            sph = link_spheres.get(l, [])
             tr = ",\n            ".join(
                 f"{t / self.fps * 24.0:.4f}: {_fmt(pos[t, l])}" for t in range(T)
             )
@@ -260,9 +278,12 @@ class UsdWriter:
         }}'''
                 for s in sph
             )
+            children += self._link_visual_prims(
+                visuals.get(link_name, ()), asset_root
+            )
             self._prims.append(
                 f'''
-    def Xform "{name}_{_sanitize(params.link_names[l])}" {{
+    def Xform "{name}_{_sanitize(link_name)}" {{
         double3 xformOp:translate.timeSamples = {{
             {tr}
         }}
@@ -272,6 +293,44 @@ class UsdWriter:
         uniform token[] xformOpOrder = ["xformOp:translate", "xformOp:orient"]{children}
     }}'''
             )
+
+    def _link_visual_prims(self, vis_list, asset_root: str) -> str:
+        """Static Mesh prims for one link's visual entries, origins baked
+        into the points (link-frame)."""
+        out = []
+        for k, v in enumerate(vis_list):
+            path = v["mesh"]
+            if asset_root and not os.path.isabs(path):
+                path = os.path.join(asset_root, path)
+            if not os.path.exists(path):
+                from curobo_tpu.util.logging import log_warn
+
+                log_warn(f"visual mesh not found, skipping: {path}")
+                continue
+            from curobo_tpu.geom.mesh import load_mesh
+            from curobo_tpu.robot.urdf import rpy_to_matrix
+
+            verts, faces = load_mesh(
+                path, scale=tuple(v.get("scale", (1.0, 1.0, 1.0)))
+            )
+            if len(verts) == 0:
+                continue
+            R = rpy_to_matrix(tuple(v.get("origin_rpy", (0, 0, 0))))
+            t = np.asarray(v.get("origin_xyz", (0, 0, 0)), dtype=np.float64)
+            verts = verts @ R.T + t
+            pts = ", ".join(_fmt(p) for p in verts)
+            counts = ", ".join("3" for _ in range(len(faces)))
+            idx = ", ".join(str(int(i)) for i in np.asarray(faces).reshape(-1))
+            out.append(
+                f'''
+        def Mesh "visual_{k}" {{
+            point3f[] points = [{pts}]
+            int[] faceVertexCounts = [{counts}]
+            int[] faceVertexIndices = [{idx}]
+            {_color(_ROBOT_COLOR)}
+        }}'''
+            )
+        return "".join(out)
 
     # ---- animated robot spheres (flat debug view) ----------------------
     def add_sphere_trajectory(
@@ -328,9 +387,12 @@ def export_plan_usd(
     trajectory,  # JointState (H, D) or (B, H, D) -> first problem
     fps: float = 30.0,
     flat_spheres: bool = False,
+    kin=None,  # Kinematics facade: its .visuals/.asset_root add link meshes
 ) -> None:
     """One-call trajectory export: scene + animated per-link robot stage
-    (or the flat animated-sphere debug view)."""
+    (or the flat animated-sphere debug view). Pass `kin` (a `Kinematics`
+    built from a config with `visual` entries) to render real link
+    geometry instead of collision spheres."""
     q = trajectory.position
     if q.ndim == 3:
         q = q[0]
@@ -342,5 +404,12 @@ def export_plan_usd(
         st = kin_mod.compute_kinematics(params, q)
         w.add_sphere_trajectory(np.asarray(st.spheres))
     else:
-        w.add_robot_trajectory(params, np.asarray(q))
+        visuals = getattr(kin, "visuals", None) or {}
+        w.add_robot_trajectory(
+            params,
+            np.asarray(q),
+            visuals=visuals,
+            asset_root=getattr(kin, "asset_root", ""),
+            spheres=not visuals,
+        )
     w.save(path)

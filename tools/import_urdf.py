@@ -187,6 +187,23 @@ def build_config(
             d["mass"] = float(link.inertial.mass)
             d["com"] = _floats(link.inertial.com)
             d["inertia"] = _floats(link.inertial.inertia.reshape(-1))
+        if link.visuals:
+            vis = []
+            for v in link.visuals:
+                path = v.mesh
+                if path.startswith("package://"):
+                    # package://<pkg>/rest -> rest (asset_root = URDF dir,
+                    # the conventional package root for shipped URDFs)
+                    path = path.split("://", 1)[1].split("/", 1)[-1]
+                e = {"mesh": path}
+                if np.any(np.asarray(v.xyz) != 0):
+                    e["origin_xyz"] = _floats(v.xyz)
+                if np.any(np.asarray(v.rpy) != 0):
+                    e["origin_rpy"] = _floats(v.rpy)
+                if np.any(np.asarray(v.scale) != 1):
+                    e["scale"] = _floats(v.scale)
+                vis.append(e)
+            d["visual"] = vis
         links_out.append(d)
 
     kept_names = {l["name"] for l in links_out}
@@ -205,6 +222,10 @@ def build_config(
             "base_link": base_link,
             "tool_frames": list(tool_frames),
             "actuated_joints": actuated,
+            # visual-mesh paths resolve against this (override at load
+            # with CUROBO_TPU_ASSET_ROOT); meshes are external assets,
+            # not copied into the config
+            "asset_root": os.path.dirname(os.path.abspath(urdf_path)),
             "links": links_out,
         },
     }
