@@ -584,7 +584,7 @@ def bench_perception():
     )
 
 
-def bench_motion(limit, timeout_s=2900):
+def bench_motion(limit, timeout_s=2900, use_dynamics=False):
     """Quick motion-gen suite (fixed-seed Franka problems); the full run is
     bench_motion.py. The child gets its own subprocess timeout (which KILLS
     it — an orphaned child would hold the remote compile queue and stall
@@ -597,8 +597,12 @@ def bench_motion(limit, timeout_s=2900):
     ))
     if not os.path.exists(os.path.join(root, "bench_motion.py")):
         root = "/root/repo"
+    cmd = [sys.executable, os.path.join(root, "bench_motion.py"),
+           "--limit", str(limit)]
+    if use_dynamics:
+        cmd.append("--use-dynamics")
     out = subprocess.run(
-        [sys.executable, os.path.join(root, "bench_motion.py"), "--limit", str(limit)],
+        cmd,
         capture_output=True, text=True, timeout=max(timeout_s, 60),
         cwd=root,
     )
@@ -610,18 +614,30 @@ def bench_motion(limit, timeout_s=2900):
         ][-6:]
         raise RuntimeError(f"bench_motion.py rc={out.returncode}: " + " | ".join(tail))
     m = json.loads(lines[-1])
-    return dict(
+    base_p98 = 135.0 if use_dynamics else BASELINE_MOTION_P98_MS
+    d = dict(
         n_problems=m["n_problems"],
         success_rate=round(m["success_rate"], 4),
         plan_time_mean_ms=round(m["plan_time_mean_ms"], 2),
         plan_time_p98_ms=round(m["plan_time_p98_ms"], 2),
+        plan_time_first_attempt_p98_ms=round(
+            m.get("plan_time_first_attempt_p98_ms", -1.0), 2
+        ),
+        retry_rate=round(m.get("retry_rate", -1.0), 3),
         position_error_mm_mean=round(m["position_error_mm_mean"], 4),
         # quality vs BASELINE means: 3.126 rad / 1.25 s / jerk 227.4
         path_length_mean=round(m.get("path_length_mean", -1.0), 4),
         motion_time_mean_s=round(m.get("motion_time_mean_s", -1.0), 4),
         max_jerk_mean=round(m.get("max_jerk_mean", -1.0), 2),
-        vs_baseline=round(BASELINE_MOTION_P98_MS / m["plan_time_p98_ms"], 3),
+        vs_baseline=round(base_p98 / m["plan_time_p98_ms"], 3),
     )
+    if "attribution_mean" in m:
+        d["attribution_mean"] = m["attribution_mean"]
+    if use_dynamics:
+        # reference row: 99.73 % / p98 135 ms / max torque 62.26 N*m
+        d["max_torque_max"] = round(m.get("max_torque_max", -1.0), 2)
+        d["max_torque_mean"] = round(m.get("max_torque_mean", -1.0), 2)
+    return d
 
 
 class _SuiteTimeout(Exception):
@@ -707,6 +723,10 @@ def main():
          lambda: bench_motion(int(os.environ.get("BENCH_MOTION_LIMIT", "90")),
                               timeout_s=remaining() - 20),
          "BENCH_SKIP_MOTION", 2400, 240),
+        ("franka_motion_gen_torque",
+         lambda: bench_motion(int(os.environ.get("BENCH_MOTION_TORQUE_LIMIT", "30")),
+                              timeout_s=remaining() - 20, use_dynamics=True),
+         "BENCH_SKIP_MOTION_TORQUE", 1200, 200),
         ("perception", bench_perception, "BENCH_SKIP_PERCEPTION", 600, 90),
         ("dual_ur10e_cfik", bench_dual_ur10e_cfik, "BENCH_SKIP_DUAL", 600, 90),
         ("franka_mpc", bench_mpc, "BENCH_SKIP_MPC", 600, 60),

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--lbfgs-iters", type=int, default=0)
     ap.add_argument("--finetune-attempts", type=int, default=-1)
     ap.add_argument("--trajopt-seeds", type=int, default=0)
+    # torque-limited mode (reference benchmark --use-dynamics: 3 kg
+    # payload + RNEA torque-limit constraint; baseline 99.73 % / p98
+    # 135 ms / max torque 62.26 N*m, `benchmarks.rst:36-54`)
+    ap.add_argument("--use-dynamics", action="store_true")
+    ap.add_argument("--payload-kg", type=float, default=3.0)
     args = ap.parse_args()
 
     import jax
@@ -78,11 +83,37 @@ def main():
         )
     if args.finetune_attempts >= 0:
         tcfg = dataclasses.replace(tcfg, finetune_attempts=args.finetune_attempts)
+    if args.use_dynamics:
+        tcfg = dataclasses.replace(
+            tcfg,
+            rollout=dataclasses.replace(
+                tcfg.rollout,
+                torque_limit_weight=100.0,
+                payload_mass=args.payload_kg,
+            ),
+        )
     if tcfg is not pcfg.trajopt:
         pcfg = dataclasses.replace(pcfg, trajopt=tcfg)
     if args.trajopt_seeds:
         pcfg = dataclasses.replace(pcfg, n_trajopt_seeds=args.trajopt_seeds)
     planner = MotionPlanner(kin.params, pcfg)
+
+    def traj_max_torque(res):
+        """Peak |tau| over the solved trajectory (payload included) —
+        reference reports this as the constraint-satisfaction metric."""
+        from curobo_tpu.robot.dynamics import compute_inverse_dynamics
+
+        p = kin.params
+        dyn = p
+        if args.payload_kg > 0:
+            dyn = dataclasses.replace(
+                p, link_mass=p.link_mass.at[p.n_links - 1].add(args.payload_kg)
+            )
+        st = res.solver_trajectory
+        tau = compute_inverse_dynamics(
+            dyn, st.position, st.velocity, st.acceleration
+        )
+        return float(jnp.max(jnp.abs(tau)))
 
     def run(prob, key, attribute=False):
         world = build_world(prob["world"], cap)
@@ -122,19 +153,20 @@ def main():
             if res.solver_trajectory.jerk is not None
             else 0.0
         )
-        rows.append(
-            dict(
-                scenario=prob["scenario"],
-                success=bool(res.success[0]),
-                plan_time=dt_wall,
-                position_error=float(res.position_error[0]),
-                rotation_error=float(res.rotation_error[0]),
-                motion_time=float(res.motion_time[0]),
-                path_length=float(dq),
-                max_jerk=jerk,
-                attempts=attempts,
-            )
+        row = dict(
+            scenario=prob["scenario"],
+            success=bool(res.success[0]),
+            plan_time=dt_wall,
+            position_error=float(res.position_error[0]),
+            rotation_error=float(res.rotation_error[0]),
+            motion_time=float(res.motion_time[0]),
+            path_length=float(dq),
+            max_jerk=jerk,
+            attempts=attempts,
         )
+        if args.use_dynamics:
+            row["max_torque"] = traj_max_torque(res)
+        rows.append(row)
 
     ok = [r for r in rows if r["success"]]
     t = np.asarray([r["plan_time"] for r in rows])
@@ -171,6 +203,13 @@ def main():
         else -1.0,
         max_jerk_p98=float(np.percentile([r["max_jerk"] for r in ok], 98))
         if ok
+        else -1.0,
+        use_dynamics=bool(args.use_dynamics),
+        max_torque_max=float(np.max([r["max_torque"] for r in ok]))
+        if args.use_dynamics and ok
+        else -1.0,
+        max_torque_mean=float(np.mean([r["max_torque"] for r in ok]))
+        if args.use_dynamics and ok
         else -1.0,
         retry_rate=float(np.mean([r["attempts"] > 1 for r in rows])),
         plan_time_first_attempt_p98_ms=float(
