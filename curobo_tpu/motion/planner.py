@@ -145,6 +145,7 @@ class MotionPlanner:
         mark.t = t0
 
         best: Optional[TrajOptResult] = None
+        interp = None
         ik_success = jnp.zeros((B,), dtype=bool)
         for attempt in range(cfg.max_attempts):
             k_ik, k_to, key = jax.random.split(key, 3)
@@ -165,18 +166,24 @@ class MotionPlanner:
             )
             mark("trajopt_ms", res.trajectory.position)
             best = res if best is None else self._merge_best_jit(res, best)
-            all_ok = bool(jnp.all(best.success))
+            # speculative interpolation BEFORE the host success check: the
+            # bool() fetch below is the plan's one mandatory device sync
+            # (it drains the whole async queue), so enqueueing interp
+            # first makes it free in the common success case instead of a
+            # second blocking round-trip (~25 ms through a remote tunnel)
+            interp = self.trajopt.interpolate(
+                best, q_start, cfg.interpolation_dt, h_out=self._interp_steps()
+            )
+            mark("interpolate_ms", interp.position)
+            all_ok = attempt == cfg.max_attempts - 1 or bool(
+                jnp.all(best.success)
+            )
             mark("merge_sync_ms", None)
             if all_ok:
                 break
         self.last_attempts = attempt + 1
         if attribute:
             attr["attempts"] = attempt + 1
-
-        interp = self.trajopt.interpolate(
-            best, q_start, cfg.interpolation_dt, h_out=self._interp_steps()
-        )
-        mark("interpolate_ms", interp.position)
         if attribute:
             self.last_attribution = attr
         return MotionPlanResult(
