@@ -93,6 +93,21 @@ class SeedIK:
         lead = r.shape[:-2]
         return r.reshape(lead + (T * 6,)), J.reshape(lead + (T * 6, D))
 
+    def _residual_only(self, q, goal_pos, goal_quat):
+        """Residual without the Jacobian — the LM acceptance check needs
+        only the cost, and the Jacobian is the expensive half of the
+        iteration at humanoid scale (49 dof x 4 tools x 12.8k configs)."""
+        p = self.params
+        st = kin_mod.compute_kinematics(p, q)
+        T = goal_pos.shape[-2]
+        dp = (st.tool_pose.position - goal_pos) * self.cfg.position_weight
+        dr = (
+            qm.quat_error(goal_quat, st.tool_pose.quaternion)
+            * self.cfg.rotation_weight
+        )
+        r = jnp.concatenate([dp, dr], axis=-1)
+        return r.reshape(r.shape[:-2] + (T * 6,))
+
     def _solve(self, q0, goal_pos, goal_quat):
         p = self.params
         cfg = self.cfg
@@ -106,7 +121,7 @@ class SeedIK:
             dn = jnp.max(jnp.abs(d), axis=-1, keepdims=True)
             d = d * jnp.minimum(1.0, cfg.step_clip / jnp.maximum(dn, 1e-9))
             q_new = jnp.clip(q + d, lo, hi)
-            r2, _ = self._residual_and_jac(q_new, goal_pos, goal_quat)
+            r2 = self._residual_only(q_new, goal_pos, goal_quat)
             c_new = jnp.sum(r2 * r2, axis=-1)
             improved = c_new < c
             q = jnp.where(improved[..., None], q_new, q)
@@ -120,7 +135,7 @@ class SeedIK:
             return q, damping, best_q, best_c
 
         damping0 = jnp.full(q0.shape[:-1], cfg.damping, q0.dtype)
-        r0, _ = self._residual_and_jac(q0, goal_pos, goal_quat)
+        r0 = self._residual_only(q0, goal_pos, goal_quat)
         c0 = jnp.sum(r0 * r0, axis=-1)
         carry = (q0, damping0, q0, c0)
         _, _, best_q, best_c = jax.lax.fori_loop(0, cfg.n_iters, body, carry)
