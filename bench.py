@@ -97,17 +97,24 @@ def _franka_ik_config(warmup=32, mppi_iters=0, lbfgs_iters=6, linesearch=4):
     )
 
 
-def _pipelined_ms(solve, world, goal, seeds, keys, K=10, reps=8):
-    import jax
+def _sync(x):
+    """Force a REAL device round-trip: np.asarray fetches the bytes.
+    `block_until_ready` through the axon tunnel sporadically returns
+    before the enqueued execution runs (measured: a 12.8 s G1 solve
+    "timed" at 2.4 ms in 2 of 4 sessions) — fetching a small output is
+    the only sync that cannot lie."""
+    return np.asarray(x)
 
+
+def _pipelined_ms(solve, world, goal, seeds, keys, K=10, reps=8):
     res = solve(world, goal, seeds, keys[0])
-    res.solution.block_until_ready()
+    _sync(res.solution)
     best = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for i in range(K):
             res = solve(world, goal, seeds, keys[i % len(keys)])
-        res.solution.block_until_ready()
+        _sync(res.solution)
         best.append((time.perf_counter() - t0) / K)
     return float(np.min(best) * 1000.0), res
 
@@ -155,16 +162,16 @@ def bench_franka_cfik():
     for i in range(25):
         t0 = time.perf_counter()
         res = solve(world, goal, seeds, keys[i % len(keys)])
-        res.solution.block_until_ready()
+        _sync(res.solution)
         single.append(time.perf_counter() - t0)
 
     tiny = jax.jit(lambda x: x + 1.0)
     a = jnp.zeros((8,))
-    tiny(a).block_until_ready()
+    _sync(tiny(a))
     rtt = []
     for _ in range(15):
         t0 = time.perf_counter()
-        tiny(a).block_until_ready()
+        _sync(tiny(a))
         rtt.append(time.perf_counter() - t0)
 
     success = float(jnp.mean(res.success.astype(jnp.float32)))
@@ -282,12 +289,12 @@ def bench_dual_ur10e_cfik():
         ),
     )
     res = solver.solve_pose(world, goals, seed_state=p.retract_config)
-    res.solution.block_until_ready()
+    _sync(res.solution)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         res = solver.solve_pose(world, goals, seed_state=p.retract_config)
-        res.solution.block_until_ready()
+        _sync(res.solution)
         times.append(time.perf_counter() - t0)
     pe = np.asarray(res.position_error)
     ms = float(np.min(times) * 1000.0)
@@ -367,12 +374,12 @@ def bench_g1_cfik():
     solver = IKSolver(p, cfg)
 
     res = solver.solve_pose(world, goals, seed_state=p.retract_config)
-    res.solution.block_until_ready()
+    _sync(res.solution)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         res = solver.solve_pose(world, goals, seed_state=p.retract_config)
-        res.solution.block_until_ready()
+        _sync(res.solution)
         times.append(time.perf_counter() - t0)
     pe = np.asarray(res.position_error)
     return dict(
@@ -425,22 +432,22 @@ def bench_mpc():
         for t in range(n_ticks)
     ])
     res, state_out = solver.run_ticks(worlds, goal, state, js)  # compile
-    jax.block_until_ready(res.command.position)
+    _sync(res.command.position)
 
     times = []
     for _ in range(6):
         t0 = time.perf_counter()
         res, _ = solver.run_ticks(worlds, goal, state, js)
-        res.command.position.block_until_ready()
+        _sync(res.command.position)
         times.append((time.perf_counter() - t0) / n_ticks)
     tick_ms = float(np.min(times) * 1000.0)
 
     # single blocking tick (tunnel RTT dominated; for disclosure)
     res1, state1 = solver.step(world, goal, state, js)
-    res1.command.position.block_until_ready()
+    _sync(res1.command.position)
     t0 = time.perf_counter()
     res1, _ = solver.step(world, goal, state1, js)
-    res1.command.position.block_until_ready()
+    _sync(res1.command.position)
     single_ms = (time.perf_counter() - t0) * 1000.0
 
     n_feas = int(np.sum(np.asarray(res.feasible)))
@@ -526,14 +533,21 @@ def bench_perception():
     obs_b = [make_obs(i + 4, [0.3, 0.0, -1.2]) for i in range(4)]
 
     def time_frames(frame, grid):
+        def sync(g):
+            # fetch ONE tsdf element: data-dependent on the full update,
+            # ~4 bytes of transfer (fetching the whole pool would add
+            # hundreds of MB to the measurement)
+            t = g.tsdf if hasattr(g, "tsdf") else g
+            _sync(t.reshape(-1)[:1])
+
         grid = frame(grid, obs_a[0], obs_b[0])  # compile
-        jax.block_until_ready(grid)
+        sync(grid)
         K, integ = 8, []
         for _ in range(6):
             t0 = time.perf_counter()
             for i in range(K):
                 grid = frame(grid, obs_a[i % 4], obs_b[i % 4])
-            jax.block_until_ready(grid)
+            sync(grid)
             integ.append((time.perf_counter() - t0) / K)
         return float(np.min(integ) * 1000.0), grid
 
@@ -564,13 +578,13 @@ def bench_perception():
     dense_ms, grid = time_frames(dense_frame, make_grid(cfg))
 
     esdf_jit = jax.jit(lambda g: compute_esdf(cfg, g))
-    esdf_jit(grid).block_until_ready()
+    _sync(esdf_jit(grid).reshape(-1)[:1])
     K, esdf = 8, []
     for _ in range(6):
         t0 = time.perf_counter()
         for _ in range(K):
             d = esdf_jit(grid)
-        d.block_until_ready()
+        _sync(d.reshape(-1)[:1])
         esdf.append((time.perf_counter() - t0) / K)
     esdf_ms = float(np.min(esdf) * 1000.0)
 

@@ -126,7 +126,9 @@ def main():
         )
         t0 = time.perf_counter()
         res = planner.plan_pose(world, goal, start, key=key, attribute=attribute)
-        jax.block_until_ready(res.trajectory.position)
+        # np.asarray = REAL device fetch; block_until_ready through the
+        # axon tunnel can return before the work runs (bench.py _sync)
+        np.asarray(res.trajectory.position)
         return res, time.perf_counter() - t0
 
     # warmup: compile every shape/path once (kernels are capacity-envelope

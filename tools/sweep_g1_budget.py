@@ -73,12 +73,12 @@ def base_cfg():
 def run_variant(p, world, goals, cfg, reps=2):
     solver = IKSolver(p, cfg)
     res = solver.solve_pose(world, goals, seed_state=p.retract_config)
-    res.solution.block_until_ready()
+    np.asarray(res.solution)  # real fetch: block_until_ready can lie (bench.py _sync)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         res = solver.solve_pose(world, goals, seed_state=p.retract_config)
-        res.solution.block_until_ready()
+        np.asarray(res.solution)
         times.append(time.perf_counter() - t0)
     pe = np.asarray(res.position_error)
     return dict(
