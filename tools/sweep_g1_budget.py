@@ -127,14 +127,15 @@ def main():
 
     out = {}
     if mode == "quick":
-        # finite-difference attribution: halve each stage independently
+        # r5 first pass (old LM, honest-pe): full 12.78 s/100 %, pool64
+        # 9.14 s/99 % => LM stage ~57 % of the solve; lm30 converges
+        # (100 %, pe 0.54 mm). This pass: optimized LM (residual-only
+        # check + dual-form Cholesky) + the lean ladder.
         plan = [
             ("full", {}),
-            ("lm30", dict(lm_iters=30)),
-            ("pool64", dict(lm_pool=64)),
-            ("mppi0", dict(mppi_iters=0)),
-            ("lbfgs30", dict(lbfgs_iters=30)),
-            ("ls4", dict(ls=4)),
+            ("lm30_mppi0", dict(lm_iters=30, mppi_iters=0)),
+            ("lean", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=30, ls=4)),
+            ("min", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=20, ls=3)),
         ]
     else:
         plan = [
