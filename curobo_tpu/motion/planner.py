@@ -67,6 +67,12 @@ class MotionPlanner:
             self._select_seeds, static_argnums=(1,)
         )
         self._merge_best_jit = jax.jit(self._merge_best)
+        # interpolate was an EAGER chain of ~30 small ops — ~127 ms of
+        # dispatch per plan through a remote tunnel (r5 attribution);
+        # one jit makes it a single dispatch
+        self._interp_jit = jax.jit(
+            self.trajopt.interpolate, static_argnums=(2, 3)
+        )
 
     @staticmethod
     def _merge_best(res: TrajOptResult, best: TrajOptResult) -> TrajOptResult:
@@ -171,9 +177,15 @@ class MotionPlanner:
             # (it drains the whole async queue), so enqueueing interp
             # first makes it free in the common success case instead of a
             # second blocking round-trip (~25 ms through a remote tunnel)
-            interp = self.trajopt.interpolate(
-                best, q_start, cfg.interpolation_dt, h_out=self._interp_steps()
-            )
+            h_out = self._interp_steps()
+            if h_out is not None:
+                interp = self._interp_jit(
+                    best, q_start, cfg.interpolation_dt, h_out
+                )
+            else:  # data-dependent horizon: stays eager by design
+                interp = self.trajopt.interpolate(
+                    best, q_start, cfg.interpolation_dt
+                )
             mark("interpolate_ms", interp.position)
             all_ok = attempt == cfg.max_attempts - 1 or bool(
                 jnp.all(best.success)

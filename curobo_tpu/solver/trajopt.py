@@ -407,29 +407,15 @@ class TrajOptSolver:
     # ------------------------------------------------------------------
     def _solve(self, world, goal, q_start, seed_q, key, seed_paths=None) -> TrajOptResult:
         world = world.anonymized()  # names are static jit keys
-        cfg = self.cfg
-        B, S, D = seed_q.shape
         if key is None:
             key = jax.random.PRNGKey(0)
-
-        # B-spline seeds: linear in joint space, or fitted to graph paths
-        pin = cfg.pin_goal
-        if seed_paths is not None:
-            free0 = self.transition.path_seed(seed_paths, q_goal_pinned=pin)
-        else:
-            free0 = self.transition.linear_seed(
-                jnp.broadcast_to(q_start[:, None], (B, S, D)), seed_q,
-                q_goal_pinned=pin,
-            )
-        q_end = seed_q if pin else None
-        dt = jnp.broadcast_to(self.estimate_dt(q_start[:, None], seed_q), (B, S))
 
         use_pallas = self._use_pallas(world, goal) and not self._pallas_cache.is_broken(
             world
         )
         impl = self._pallas_cache.get(world) if use_pallas else self._finetune_xla
         try:
-            return impl(world, goal, q_start, free0, dt, key, q_end)
+            return impl(world, goal, q_start, seed_q, seed_paths, key)
         except jax.errors.JaxRuntimeError as e:
             if not use_pallas:
                 raise
@@ -440,18 +426,30 @@ class TrajOptSolver:
                 f"({str(e)[:160]}); falling back to the XLA path"
             )
             self._pallas_cache.mark_broken(world)
-            return self._finetune_xla(world, goal, q_start, free0, dt, key, q_end)
+            return self._finetune_xla(world, goal, q_start, seed_q, seed_paths, key)
 
     def _finetune_impl(
-        self, world, goal, q_start, free0, dt, key, q_end=None, solve_fn=None,
+        self, world, goal, q_start, seed_q, seed_paths, key, solve_fn=None,
         solve_fn_ft=None,
     ) -> TrajOptResult:
-        """Finetune rounds + per-problem best-seed merge + final rollout and
-        feasibility, traced as one program (jitted per compute path). The
-        LAST round runs the pose-boosted finetune objective (solve_fn_ft)
-        when configured."""
+        """Seed construction + finetune rounds + per-problem best-seed
+        merge + final rollout and feasibility, traced as one program
+        (jitted per compute path). Seed construction lives INSIDE the jit
+        (r5: the eager linear_seed/estimate_dt prologue was ~10 dispatches
+        per plan). The LAST round runs the pose-boosted finetune objective
+        (solve_fn_ft) when configured."""
         cfg = self.cfg
-        B = q_start.shape[0]
+        B, S, D = seed_q.shape
+        pin = cfg.pin_goal
+        if seed_paths is not None:
+            free0 = self.transition.path_seed(seed_paths, q_goal_pinned=pin)
+        else:
+            free0 = self.transition.linear_seed(
+                jnp.broadcast_to(q_start[:, None], (B, S, D)), seed_q,
+                q_goal_pinned=pin,
+            )
+        q_end = seed_q if pin else None
+        dt = jnp.broadcast_to(self.estimate_dt(q_start[:, None], seed_q), (B, S))
         best = None  # per-problem best tracker (traced)
         for attempt in range(cfg.finetune_attempts + 1):
             fn = (

@@ -131,11 +131,15 @@ def main():
         # 9.14 s/99 % => LM stage ~57 % of the solve; lm30 converges
         # (100 %, pe 0.54 mm). This pass: optimized LM (residual-only
         # check + dual-form Cholesky) + the lean ladder.
+        # pass-2 results (optimized LM, honest sync): full 10.22 s/100 %,
+        # lm30_mppi0 7.59 s/99 %, lean(lbfgs30+ls4) 3.23 s/91 %,
+        # min(lbfgs20+ls3) 2.89 s/87 % — the success cliff is in the
+        # L-BFGS polish; pass 3 separates iters vs line-search width.
         plan = [
-            ("full", {}),
-            ("lm30_mppi0", dict(lm_iters=30, mppi_iters=0)),
-            ("lean", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=30, ls=4)),
-            ("min", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=20, ls=3)),
+            ("ls4", dict(lm_iters=30, mppi_iters=0, ls=4)),
+            ("lbfgs40", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=40)),
+            ("lbfgs45_ls5", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=45,
+                                 ls=5)),
         ]
     else:
         plan = [
