@@ -329,6 +329,8 @@ def bench_g1_cfik():
 
     from curobo_tpu.robot.model import RobotModelConfig
 
+    import dataclasses as _dc
+
     mc = RobotModelConfig.from_yaml("curobo_tpu/content/robots/unitree_g1.yml")
     # FREE floating base — reference parity: the G1 benchmark config keeps
     # base_j_* in cspace (no lock_joints; `configs/robot/unitree_g1.yml`
@@ -345,6 +347,23 @@ def bench_g1_cfik():
         cfg,
         position_threshold=0.005,
         rollout=dataclasses.replace(cfg.rollout, support_polygon=None),
+    )
+    # swept budget (tools/sweep_g1_budget.py, r5 pass 3): LM 30 iters
+    # converges the warm start (pe p90 0.5 mm), MPPI buys nothing after
+    # it, and the 7-point strong-Wolfe ladder was 60 % of the L-BFGS
+    # stage at zero success gain — 12.78 s -> 4.02 s at 99 % (reference
+    # 526.87 ms / 98.4 %)
+    cfg = dataclasses.replace(
+        cfg,
+        lm_seed_iters=30,
+        use_particle_stage=False,
+        lbfgs=dataclasses.replace(
+            cfg.lbfgs,
+            line_search=dataclasses.replace(
+                cfg.lbfgs.line_search,
+                scales=tuple(cfg.lbfgs.line_search.scales[:4]),
+            ),
+        ),
     )
     world = wm.compile_scene(
         gt.Scene().add(

@@ -32,6 +32,12 @@ class MotionPlanConfig:
     # attempt index at which PRM graph seeding kicks in (reference
     # `enable_graph_attempt`, `motion_planner.py:233-296`); -1 disables
     enable_graph_attempt: int = 1
+    # retry escalation (r5): attempt 0 failed with the standard budget, so
+    # retries solve HARDER, not just differently — IK with seed_scale x
+    # the seeds, trajopt over more seeds. Costs nothing on the common
+    # attempt-0-success path; the retry programs compile during warmup.
+    retry_ik_seed_scale: int = 2
+    n_trajopt_seeds_retry: int = 8
     interpolation_dt: float = 0.02
     # pin the interpolated horizon so repeated plans never retrace on the
     # data-dependent motion time (True = bound from trajopt max_dt)
@@ -56,6 +62,14 @@ class MotionPlanner:
         self.params = params
         self.cfg = cfg
         self.ik = IKSolver(params, cfg.ik)
+        self.ik_retry = self.ik
+        if cfg.retry_ik_seed_scale > 1 and cfg.max_attempts > 1:
+            self.ik_retry = IKSolver(
+                params,
+                dataclasses.replace(
+                    cfg.ik, n_seeds=cfg.ik.n_seeds * cfg.retry_ik_seed_scale
+                ),
+            )
         self.trajopt = TrajOptSolver(params, cfg.trajopt)
         self._prm = None  # built lazily on first graph-seeded attempt
         # glue jits: each eager op between the solver jits is a separate
@@ -155,13 +169,18 @@ class MotionPlanner:
         ik_success = jnp.zeros((B,), dtype=bool)
         for attempt in range(cfg.max_attempts):
             k_ik, k_to, key = jax.random.split(key, 3)
-            ik_res = self.ik.solve_pose(
+            ik_solver = self.ik if attempt == 0 else self.ik_retry
+            n_to_seeds = (
+                cfg.n_trajopt_seeds if attempt == 0
+                else max(cfg.n_trajopt_seeds_retry, cfg.n_trajopt_seeds)
+            )
+            ik_res = ik_solver.solve_pose(
                 world, goal_pose, key=k_ik,
                 seed_state=q_start if attempt == 0 else None,
             )
             mark("ik_ms", ik_res.solution)
             ik_success = ik_success | ik_res.success
-            seeds = self._select_seeds_jit(ik_res, cfg.n_trajopt_seeds)
+            seeds = self._select_seeds_jit(ik_res, n_to_seeds)
             mark("seed_select_ms", seeds)
             seed_paths = None
             if cfg.enable_graph_attempt >= 0 and attempt >= cfg.enable_graph_attempt:

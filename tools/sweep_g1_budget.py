@@ -135,11 +135,14 @@ def main():
         # lm30_mppi0 7.59 s/99 %, lean(lbfgs30+ls4) 3.23 s/91 %,
         # min(lbfgs20+ls3) 2.89 s/87 % — the success cliff is in the
         # L-BFGS polish; pass 3 separates iters vs line-search width.
+        # pass-3: ls4 (lbfgs60) 4.02 s/99 %, lbfgs40(ls7) 5.86 s/96 %,
+        # lbfgs45_ls5 4.29 s/98 % — the line-search LADDER was the cost,
+        # not the iteration count. pass-4: push ls/iters/lm further.
         plan = [
-            ("ls4", dict(lm_iters=30, mppi_iters=0, ls=4)),
-            ("lbfgs40", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=40)),
-            ("lbfgs45_ls5", dict(lm_iters=30, mppi_iters=0, lbfgs_iters=45,
-                                 ls=5)),
+            ("ls3", dict(lm_iters=30, mppi_iters=0, ls=3)),
+            ("ls4_lbfgs50", dict(lm_iters=30, mppi_iters=0, ls=4,
+                                 lbfgs_iters=50)),
+            ("lm20_ls4", dict(lm_iters=20, mppi_iters=0, ls=4)),
         ]
     else:
         plan = [
