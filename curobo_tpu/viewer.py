@@ -13,13 +13,16 @@ from __future__ import annotations
 
 def export_usd(
     path, scene, params, trajectory, fps: float = 30.0,
-    flat_spheres: bool = False,
+    flat_spheres: bool = False, kin=None,
 ) -> None:
-    """Write a .usda file: scene prims + animated per-link robot stage."""
+    """Write a .usda file: scene prims + animated per-link robot stage.
+    Pass `kin` (a `Kinematics` whose config carries `visual` entries) to
+    render real link geometry instead of collision spheres."""
     from curobo_tpu.util.usd_export import export_plan_usd
 
     export_plan_usd(
-        path, scene, params, trajectory, fps=fps, flat_spheres=flat_spheres
+        path, scene, params, trajectory, fps=fps, flat_spheres=flat_spheres,
+        kin=kin,
     )
 
 
@@ -75,10 +78,12 @@ def _add_obstacle_viser(server, o):
             )
 
 
-def show_viser(scene, params, trajectory=None, port: int = 8080):
+def show_viser(scene, params, trajectory=None, port: int = 8080, kin=None):
     """Interactive viser viewer (requires the optional `viser` package):
-    all obstacle types + robot collision spheres, with a playback slider
-    when a trajectory is given (reference `ViserVisualizer`)."""
+    all obstacle types + the robot (real link visual meshes when `kin`
+    carries `visual` entries, collision spheres otherwise), with a
+    playback slider when a trajectory is given (reference
+    `ViserVisualizer`)."""
     try:
         import viser  # noqa: F401
     except ImportError as e:
@@ -86,6 +91,8 @@ def show_viser(scene, params, trajectory=None, port: int = 8080):
             "viser is not installed; use viewer.export_usd for offline "
             "visualization"
         ) from e
+    import os
+
     import numpy as np
 
     from curobo_tpu.robot import kinematics as kin_mod
@@ -96,6 +103,67 @@ def show_viser(scene, params, trajectory=None, port: int = 8080):
     if trajectory is not None:
         q = trajectory.position
         st = kin_mod.compute_kinematics(params, q[0] if q.ndim == 3 else q)
+        visuals = getattr(kin, "visuals", None) or {}
+        asset_root = getattr(kin, "asset_root", "")
+        mesh_handles = []  # (handle, link_idx, R_vis, t_vis)
+        if visuals:
+            from curobo_tpu.geom.mesh import load_mesh
+            from curobo_tpu.robot.urdf import rpy_to_matrix
+
+            rot = np.asarray(st.link_rot)  # (T, L, 3, 3)
+            pos = np.asarray(st.link_pos)  # (T, L, 3)
+            name_to_idx = {n: i for i, n in enumerate(params.link_names)}
+            for lname, vis_list in visuals.items():
+                l = name_to_idx.get(lname)
+                if l is None:
+                    continue
+                for k, v in enumerate(vis_list):
+                    path = v["mesh"]
+                    if asset_root and not os.path.isabs(path):
+                        path = os.path.join(asset_root, path)
+                    if not os.path.exists(path):
+                        continue
+                    verts, faces = load_mesh(
+                        path, scale=tuple(v.get("scale", (1.0, 1.0, 1.0)))
+                    )
+                    if len(verts) == 0:
+                        continue
+                    Rv = rpy_to_matrix(tuple(v.get("origin_rpy", (0, 0, 0))))
+                    tv = np.asarray(v.get("origin_xyz", (0, 0, 0)))
+                    verts = verts @ Rv.T + tv  # bake into link frame
+                    from scipy.spatial.transform import Rotation
+
+                    wxyz = np.roll(
+                        Rotation.from_matrix(rot[0, l]).as_quat(), 1
+                    )
+                    h = server.scene.add_mesh_simple(
+                        f"/robot/{lname}_v{k}",
+                        vertices=verts.astype(np.float32),
+                        faces=faces.astype(np.int64),
+                        position=tuple(pos[0, l]),
+                        wxyz=tuple(wxyz),
+                    )
+                    mesh_handles.append((h, l))
+            if pos.ndim == 3 and pos.shape[0] > 1:
+                from scipy.spatial.transform import Rotation
+
+                slider = server.gui.add_slider(
+                    "frame", min=0, max=pos.shape[0] - 1, step=1,
+                    initial_value=0,
+                )
+
+                @slider.on_update
+                def _(_evt):
+                    t = int(slider.value)
+                    for h, l in mesh_handles:
+                        h.position = tuple(pos[t, l])
+                        h.wxyz = tuple(
+                            np.roll(
+                                Rotation.from_matrix(rot[t, l]).as_quat(), 1
+                            )
+                        )
+
+            return server
         sph = np.asarray(st.spheres)  # (T, S, 4)
         handles = {}
         for s in range(sph.shape[-2]):
