@@ -348,11 +348,11 @@ def bench_g1_cfik():
         position_threshold=0.005,
         rollout=dataclasses.replace(cfg.rollout, support_polygon=None),
     )
-    # swept budget (tools/sweep_g1_budget.py, r5 pass 3): LM 30 iters
+    # swept budget (tools/sweep_g1_budget.py, r5 passes 2-4): LM 30 iters
     # converges the warm start (pe p90 0.5 mm), MPPI buys nothing after
-    # it, and the 7-point strong-Wolfe ladder was 60 % of the L-BFGS
-    # stage at zero success gain — 12.78 s -> 4.02 s at 99 % (reference
-    # 526.87 ms / 98.4 %)
+    # it, and the strong-Wolfe ladder — not the iteration count — was the
+    # L-BFGS stage's cost (ls3/lbfgs60 99 % vs lbfgs50/ls4 96 %):
+    # 12.78 s -> 3.73 s at 99 % (reference 526.87 ms / 98.4 %)
     cfg = dataclasses.replace(
         cfg,
         lm_seed_iters=30,
@@ -361,7 +361,7 @@ def bench_g1_cfik():
             cfg.lbfgs,
             line_search=dataclasses.replace(
                 cfg.lbfgs.line_search,
-                scales=tuple(cfg.lbfgs.line_search.scales[:4]),
+                scales=tuple(cfg.lbfgs.line_search.scales[:3]),
             ),
         ),
     )
