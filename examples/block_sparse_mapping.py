@@ -90,7 +90,7 @@ def main():
         assert stats["allocated_blocks"] > 0
         assert occ > 100
         assert np.isfinite(np.asarray(esdf)).all()
-        print("OK")
+        print("TEST PASSED")
 
 
 if __name__ == "__main__":
