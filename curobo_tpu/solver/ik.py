@@ -183,11 +183,15 @@ class IKSolver:
         B, S, D = seeds.shape
         goal_s = goal.tile_seeds(S)
         seeds, _ = self._lm_warm_start(goal_s, seeds)
+        # (B, S, T*7): per-tool [pos, quat] blocks (kernel sums pose cost
+        # over tools, T=1 callers unchanged)
+        T = self.params.n_tools
         goal7 = jnp.concatenate(
-            [goal_s.goal_pos[..., 0, 0, :], goal_s.goal_quat[..., 0, 0, :]], axis=-1
-        )  # (B, S, 7)
+            [goal_s.goal_pos[..., 0, :, :], goal_s.goal_quat[..., 0, :, :]],
+            axis=-1,
+        ).reshape(B, S, T * 7)
 
-        g7 = goal7.reshape(-1, 7)
+        g7 = goal7.reshape(-1, T * 7)
         q0 = seeds.reshape(-1, D)
         seed_scalar = jax.random.randint(key, (), 0, 2**31 - 1)
         q, c, pe, re, fe = solve_kernel(g7, q0, seed_scalar, world)
@@ -349,12 +353,13 @@ class IKSolver:
                 world_is_supported,
             )
 
-            # the kernel bakes an isotropic quadratic pose objective over
-            # ONE tool frame; fall back to blast (which handles multi-tool)
-            # for axis weights / metric pose cost / cspace goals so all
-            # paths optimize the SAME objective.
+            # the kernel bakes an isotropic quadratic pose objective
+            # (summed over ALL tool frames, r5); fall back to blast for
+            # axis weights / metric pose cost / goalsets / cspace goals so
+            # all paths optimize the SAME objective.
             take_pallas = (
-                self.params.n_tools == 1
+                goal.goal_pos.shape[-3] == 1  # single goal per tool
+                and goal.tool_weight is None
                 and BlastRollout.supports(self.params, goal, self.cfg.rollout)
                 and world_is_supported(world)
                 and rollout_config_is_supported(self.cfg.rollout)

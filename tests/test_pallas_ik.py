@@ -89,6 +89,51 @@ class TestPallasIK:
         c_grad, _ = pik(goal7, q)
         np.testing.assert_allclose(np.asarray(c_fwd), np.asarray(c_grad), rtol=1e-5)
 
+    def test_multitool_cost_and_grad_match_blast(self):
+        """Dual-arm (2 tool frames): the kernel's summed-over-tools pose
+        objective must match the blast multi-tool path (r5)."""
+        from curobo_tpu.ops.blast import BlastRollout
+        from curobo_tpu.ops.pallas_ik import PallasIKCost
+
+        kin = Kinematics.from_robot_yaml(
+            os.path.join(CONTENT, "dual_ur10e.yml")
+        )
+        world = wm.compile_scene(
+            gt.Scene().add(
+                gt.Cuboid(name="table", pose=[0, 0, -0.1, 1, 0, 0, 0],
+                          dims=[4.0, 4.0, 0.2])
+            )
+        )
+        cfg = RobotRolloutConfig()
+        blast = BlastRollout(kin.params, cfg)
+        pik = PallasIKCost(kin.params, cfg, world)
+        N = 256
+        D = kin.params.n_dof
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.uniform(-1.2, 1.2, (N, D)), dtype=jnp.float32)
+        qg = jnp.asarray(rng.uniform(-1.0, 1.0, (N, D)), dtype=jnp.float32)
+        st = compute_kinematics(kin.params, qg)
+        goal = Goal.from_pose(
+            Pose(st.tool_pose.position, st.tool_pose.quaternion)
+        )  # (N, T)
+        T = kin.params.n_tools
+        assert T == 2
+        goal7 = jnp.concatenate(
+            [st.tool_pose.position, st.tool_pose.quaternion], axis=-1
+        ).reshape(N, T * 7)
+
+        c, g = pik(goal7, q)
+        cb = blast.evaluate_config(world, goal, q).cost
+        gb = jax.grad(
+            lambda q: jnp.sum(blast.evaluate_config(world, goal, q).cost)
+        )(q)
+        rel_c = np.abs(np.asarray(c - cb)) / (np.abs(np.asarray(cb)) + 1e-2)
+        assert np.median(rel_c) < 1e-4
+        assert np.percentile(rel_c, 99) < 1e-2
+        rel_g = np.abs(np.asarray(g - gb)) / (np.abs(np.asarray(gb)) + 1.0)
+        assert np.median(rel_g) < 1e-4
+        assert np.percentile(rel_g, 99) < 1e-2
+
     def test_padding_correct(self, setup):
         # N not a multiple of the block size: padded rows must not corrupt
         # real outputs.

@@ -108,13 +108,16 @@ def main():
             ("seeds16", make_cfg(n_seeds=16)),
         ]
     else:
+        # quick-pass results: full 453 ms/99 %, lbfgs20 324/99, mppi0
+        # 387/99, nolm 196/93 (LM buys 6 %), seeds16 326/99 — stack the
+        # free cuts, then push.
         plan = [
-            ("full", make_cfg()),
-            ("lean", make_cfg(mppi_iters=0, lbfgs_iters=24, ls=4)),
-            ("leaner", make_cfg(mppi_iters=0, lbfgs_iters=16, ls=4,
-                                lm_iters=10, lm_pool=48, n_seeds=16)),
-            ("min", make_cfg(mppi_iters=0, lbfgs_iters=12, ls=3,
-                             lm_iters=8, lm_pool=32, n_seeds=12)),
+            ("lean", make_cfg(n_seeds=16, mppi_iters=0, lbfgs_iters=20,
+                              ls=4)),
+            ("leaner", make_cfg(n_seeds=16, mppi_iters=0, lbfgs_iters=16,
+                                ls=4, lm_iters=10, lm_pool=48)),
+            ("min", make_cfg(n_seeds=12, mppi_iters=0, lbfgs_iters=12,
+                             ls=3, lm_iters=8, lm_pool=32)),
         ]
     for name, cfg in plan:
         out[name] = run_variant(p, world, goals, cfg)
@@ -123,4 +126,39 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "kernel":
+        main_kernel()
+    else:
+        main()
+
+
+def make_kernel_cfg(n_seeds=24, lm=True, lm_iters=12, warmup=16,
+                    lbfgs_iters=16, kls=4, mppi_iters=0):
+    """Pallas mega-kernel path (multi-tool support r5): in-kernel pose
+    warmup + L-BFGS, LM warm start inlined ahead of the kernel."""
+    return IKConfig(
+        n_seeds=n_seeds,
+        use_lm_seed=lm,
+        lm_seed_iters=lm_iters,
+        warmup_iters=warmup,
+        use_particle_stage=mppi_iters > 0,
+        mppi=MPPIConfig(n_particles=16, n_iters=max(mppi_iters, 1),
+                        init_std=0.5),
+        lbfgs=LBFGSConfig(history=10, n_iters=lbfgs_iters),
+        kernel_linesearch=kls,
+    )
+
+
+def main_kernel():
+    p, world, goals = setup()
+    out = {}
+    plan = [
+        ("k_warm32_lb16", make_kernel_cfg(warmup=32, lbfgs_iters=16)),
+        ("k_warm32_lb24_nolm", make_kernel_cfg(warmup=32, lbfgs_iters=24,
+                                               lm=False)),
+        ("k_warm16_lb12", make_kernel_cfg(warmup=16, lbfgs_iters=12)),
+    ]
+    for name, cfg in plan:
+        out[name] = run_variant(p, world, goals, cfg)
+        print(name, out[name], flush=True)
+    print(json.dumps(out))
