@@ -269,37 +269,47 @@ def bench_dual_ur10e_cfik():
     st = compute_kinematics(p, q_goal)
     goals = Pose(st.tool_pose.position, st.tool_pose.quaternion)  # (B, 2)
 
-    # budget: 4.5x headroom vs the 15.64 ms baseline at 16 seeds / 30
-    # iters but 97 % success — spend some of it on seeds + iterations to
-    # clear the reference's 99.2 %
+    # swept kernel-path budget (tools/sweep_dual_budget.py kernel, r5):
+    # the multi-tool Pallas mega-kernel + inlined LM warm start — 32
+    # seeds / LM 12 / warmup 32 / L-BFGS 24 x 6-pt line search = 100 %
+    # at ~127 ms single-call (the r4 blast budget measured 390 ms / 99 %)
     solver = IKSolver(
         p,
         IKConfig(
-            n_seeds=24,
+            n_seeds=32,
             use_lm_seed=True,
             lm_seed_iters=12,
-            lm_seed_pool=72,
-            mppi=MPPIConfig(n_particles=16, n_iters=5, init_std=0.5),
-            lbfgs=LBFGSConfig(
-                history=10, n_iters=40,
-                line_search=LineSearchConfig(
-                    scales=(0.05, 0.2, 0.5, 0.8, 1.0, 1.4)
-                ),
-            ),
+            warmup_iters=32,
+            use_particle_stage=False,
+            lbfgs=LBFGSConfig(history=10, n_iters=24),
+            kernel_linesearch=6,
         ),
     )
     res = solver.solve_pose(world, goals, seed_state=p.retract_config)
     _sync(res.solution)
+    # single blocking call (tunnel RTT included)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         res = solver.solve_pose(world, goals, seed_state=p.retract_config)
         _sync(res.solution)
         times.append(time.perf_counter() - t0)
+    single_ms = float(np.min(times) * 1000.0)
+    # pipelined (headline methodology: K async solves, one real fetch —
+    # the locally-attached-chip number)
+    K = 8
+    pip = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            res = solver.solve_pose(world, goals, seed_state=p.retract_config)
+        _sync(res.solution)
+        pip.append((time.perf_counter() - t0) / K)
+    ms = float(np.min(pip) * 1000.0)
     pe = np.asarray(res.position_error)
-    ms = float(np.min(times) * 1000.0)
     return dict(
         ms=round(ms, 2),
+        single_call_ms=round(single_ms, 2),
         success_rate=round(float(jnp.mean(res.success.astype(jnp.float32))), 4),
         position_error_mm_p90=round(float(np.percentile(pe, 90) * 1e3), 4),
         batch=B,

@@ -125,11 +125,7 @@ def main():
     print(json.dumps(out))
 
 
-if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "kernel":
-        main_kernel()
-    else:
-        main()
+
 
 
 def make_kernel_cfg(n_seeds=24, lm=True, lm_iters=12, warmup=16,
@@ -152,13 +148,24 @@ def make_kernel_cfg(n_seeds=24, lm=True, lm_iters=12, warmup=16,
 def main_kernel():
     p, world, goals = setup()
     out = {}
+    # pass-1: warm32/lb16+lm12 99.1 ms/97 %; nolm 29 ms/84 % (LM is
+    # load-bearing); warm16/lb12 94 ms/91 %. pass-2: buy the last 2 %.
     plan = [
-        ("k_warm32_lb16", make_kernel_cfg(warmup=32, lbfgs_iters=16)),
-        ("k_warm32_lb24_nolm", make_kernel_cfg(warmup=32, lbfgs_iters=24,
-                                               lm=False)),
-        ("k_warm16_lb12", make_kernel_cfg(warmup=16, lbfgs_iters=12)),
+        ("k_s32_lm16_lb16", make_kernel_cfg(n_seeds=32, lm_iters=16,
+                                            warmup=32, lbfgs_iters=16)),
+        ("k_s24_lm20_lb20", make_kernel_cfg(lm_iters=20, warmup=32,
+                                            lbfgs_iters=20)),
+        ("k_s32_lm12_lb24_kls6", make_kernel_cfg(n_seeds=32, warmup=32,
+                                                 lbfgs_iters=24, kls=6)),
     ]
     for name, cfg in plan:
         out[name] = run_variant(p, world, goals, cfg)
         print(name, out[name], flush=True)
     print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "kernel":
+        main_kernel()
+    else:
+        main()
