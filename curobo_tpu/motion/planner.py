@@ -36,7 +36,9 @@ class MotionPlanConfig:
     # retries solve HARDER, not just differently — IK with seed_scale x
     # the seeds, trajopt over more seeds. Costs nothing on the common
     # attempt-0-success path; the retry programs compile during warmup.
-    retry_ik_seed_scale: int = 2
+    # (4x: the measured hard tail — cubby goals whose basin only ~5 % of
+    # seeds reach — needs ~128 seeds for a reliable hit.)
+    retry_ik_seed_scale: int = 4
     n_trajopt_seeds_retry: int = 8
     interpolation_dt: float = 0.02
     # pin the interpolated horizon so repeated plans never retrace on the
