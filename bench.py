@@ -766,15 +766,17 @@ def main():
          lambda: bench_motion(int(os.environ.get("BENCH_MOTION_LIMIT", "90")),
                               timeout_s=remaining() - 20),
          "BENCH_SKIP_MOTION", 2400, 240),
-        ("franka_motion_gen_torque",
-         lambda: bench_motion(int(os.environ.get("BENCH_MOTION_TORQUE_LIMIT", "30")),
-                              timeout_s=remaining() - 20, use_dynamics=True),
-         "BENCH_SKIP_MOTION_TORQUE", 1200, 200),
         ("perception", bench_perception, "BENCH_SKIP_PERCEPTION", 600, 90),
         ("dual_ur10e_cfik", bench_dual_ur10e_cfik, "BENCH_SKIP_DUAL", 600, 90),
         ("franka_mpc", bench_mpc, "BENCH_SKIP_MPC", 600, 60),
         ("franka_cfik_breakdown", bench_franka_cfik_breakdown,
          "BENCH_SKIP_BREAKDOWN", 1200, 120),
+        # last: its cold compile (torque-term blast trajopt) is the
+        # longest wildcard — must not shadow the cheap suites
+        ("franka_motion_gen_torque",
+         lambda: bench_motion(int(os.environ.get("BENCH_MOTION_TORQUE_LIMIT", "30")),
+                              timeout_s=remaining() - 20, use_dynamics=True),
+         "BENCH_SKIP_MOTION_TORQUE", 1200, 180),
     ]
     for key, fn, skip_env, watchdog, est_s in suites:
         if os.environ.get(skip_env):

@@ -82,6 +82,12 @@ class TestG1BalanceIK:
         cfg = dataclasses.replace(
             cfg,
             n_seeds=2,
+            # the yaml's 128-seed x 60-iter LM pool is benchmark scale —
+            # tens of CPU-minutes of generic-rollout G1 FK; the semantics
+            # under test (hull baking + balance solve) need only a small
+            # warm start
+            lm_seed_pool=8,
+            lm_seed_iters=15,
             mppi=MPPIConfig(n_particles=4, n_iters=2, init_std=0.08),
             lbfgs=LBFGSConfig(history=8, n_iters=20, max_step=0.25),
             rollout=sp_mod.configure_rollout(
