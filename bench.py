@@ -11,7 +11,7 @@ EVERY completed suite (the last line is the most complete result — parse
 that), where vs_baseline = reference_time / our_time (>1 means faster than
 reference); secondary suites ride along as extra keys. The same line is
 mirrored to BENCH_partial.json. Env toggles:
-BENCH_DEADLINE_S=N global wall-clock budget (default 1500); suites that
+BENCH_DEADLINE_S=N global wall-clock budget (default 2300); suites that
 don't fit the remaining budget are recorded as {"skipped": ...} instead of
 starting. BENCH_SKIP_G1=1 / BENCH_SKIP_MPC=1 / BENCH_SKIP_PERCEPTION=1 /
 BENCH_SKIP_MOTION=1 / BENCH_SKIP_DUAL=1 / BENCH_SKIP_BREAKDOWN=1 skip
@@ -730,7 +730,7 @@ def main():
     rt.enable_compilation_cache()
 
     t_start = time.time()
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "2300"))
 
     def remaining():
         return deadline_s - (time.time() - t_start)
