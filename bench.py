@@ -11,7 +11,7 @@ EVERY completed suite (the last line is the most complete result — parse
 that), where vs_baseline = reference_time / our_time (>1 means faster than
 reference); secondary suites ride along as extra keys. The same line is
 mirrored to BENCH_partial.json. Env toggles:
-BENCH_DEADLINE_S=N global wall-clock budget (default 2300); suites that
+BENCH_DEADLINE_S=N global wall-clock budget (default 2700); suites that
 don't fit the remaining budget are recorded as {"skipped": ...} instead of
 starting. BENCH_SKIP_G1=1 / BENCH_SKIP_MPC=1 / BENCH_SKIP_PERCEPTION=1 /
 BENCH_SKIP_MOTION=1 / BENCH_SKIP_DUAL=1 / BENCH_SKIP_BREAKDOWN=1 skip
@@ -730,7 +730,7 @@ def main():
     rt.enable_compilation_cache()
 
     t_start = time.time()
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "2300"))
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
 
     def remaining():
         return deadline_s - (time.time() - t_start)
@@ -774,9 +774,9 @@ def main():
         # last: its cold compile (torque-term blast trajopt) is the
         # longest wildcard — must not shadow the cheap suites
         ("franka_motion_gen_torque",
-         lambda: bench_motion(int(os.environ.get("BENCH_MOTION_TORQUE_LIMIT", "30")),
+         lambda: bench_motion(int(os.environ.get("BENCH_MOTION_TORQUE_LIMIT", "20")),
                               timeout_s=remaining() - 20, use_dynamics=True),
-         "BENCH_SKIP_MOTION_TORQUE", 1200, 180),
+         "BENCH_SKIP_MOTION_TORQUE", 1200, 240),
     ]
     for key, fn, skip_env, watchdog, est_s in suites:
         if os.environ.get(skip_env):

@@ -41,6 +41,10 @@ class IKConfig:
     # inputs; kernels compile once per obstacle-capacity envelope.
     use_pallas: bool = True
     use_particle_stage: bool = True
+    # gradient (L-BFGS) polish stage; False = particle-only solve (no
+    # backward graph — e.g. gradient-hostile costs, or CPU tests where
+    # the vjp of a humanoid-scale rollout is minutes of XLA compile)
+    use_gradient_stage: bool = True
     # LM seed-IK warm start: batched Levenberg-Marquardt on the pose-only
     # residual refines every seed before the optimizer stages (reference
     # `use_lm_seed`, `seed_ik/seed_ik_solver.py:48,578`) — the main lever
@@ -299,8 +303,9 @@ class IKSolver:
         if cfg.use_particle_stage:
             with jax.named_scope("ik.mppi"):
                 x, _ = mppi_optimize(cost, x, key, cfg.mppi, lower=lo, upper=hi)
-        with jax.named_scope("ik.lbfgs"):
-            x, _ = lbfgs_optimize(cost, x, cfg.lbfgs, lower=lo, upper=hi)
+        if cfg.use_gradient_stage:
+            with jax.named_scope("ik.lbfgs"):
+                x, _ = lbfgs_optimize(cost, x, cfg.lbfgs, lower=lo, upper=hi)
 
         # metrics + seed selection
         with jax.named_scope("ik.metrics"):

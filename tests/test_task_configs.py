@@ -87,9 +87,15 @@ class TestG1BalanceIK:
             # under test (hull baking + balance solve) need only a small
             # warm start
             lm_seed_pool=8,
-            lm_seed_iters=15,
-            mppi=MPPIConfig(n_particles=4, n_iters=2, init_std=0.08),
-            lbfgs=LBFGSConfig(history=8, n_iters=20, max_step=0.25),
+            lm_seed_iters=25,
+            # CLAUDE.md rule: G1 on CPU must use the generic rollout —
+            # the scalarized blast graph explodes the XLA CPU compile
+            use_blast=False,
+            mppi=MPPIConfig(n_particles=8, n_iters=6, init_std=0.06),
+            # no gradient stage: the vjp of the generic 674-sphere G1
+            # rollout is the dominant XLA CPU compile (~20+ min); the LM
+            # warm start + MPPI polish reach the 5 cm bar without it
+            use_gradient_stage=False,
             rollout=sp_mod.configure_rollout(
                 cfg.rollout, p, np.asarray(p.retract_config)
             ),
